@@ -1,0 +1,300 @@
+"""Scalable constrained-Ward: k-means bucketing + vmapped per-bucket merges.
+
+The reference engine is O(n^2) memory / O(n^3) time in one Go thread
+(clustering.go:61-73, :119-133, :220-246) — unusable beyond a few thousand
+images. At 100k+ images a single dense distance matrix no longer fits in HBM
+either, so the scalable path decomposes the problem the TPU way:
+
+1. **Bucketing** — a few Lloyd iterations of k-means over the embeddings
+   (distances via MXU matmuls), followed by a host-side capacity repair so
+   every bucket holds between ``min_size`` and ``bucket_size`` items.
+2. **Per-bucket exact Ward** — the same masked-argmin merge loop as
+   :mod:`imageclust_tpu.cluster.ward`, run as a ``vmap`` over buckets inside
+   one jit; with a device mesh the bucket axis is sharded over ``data`` so
+   buckets run on all chips with zero collectives.
+
+Inside a bucket the semantics are exactly the reference's (same tie-breaks,
+same maxSize masking, same under-min drop). Across buckets the decomposition
+is an approximation of the global greedy merge order — the price of scaling;
+``min(n) <= exact_limit`` jobs use the exact engine instead
+(config.ClusterConfig.exact_limit).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imageclust_tpu.cluster.ward import (
+    ClusterResult,
+    _BIG_I32,
+    _leaf_indices,
+    _merge_body,
+    _LoopState,
+    calculate_optimal_clusters,
+    pairwise_ward_singleton,
+)
+
+__all__ = ["constrained_ward_bucketed", "kmeans"]
+
+
+@partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0):
+    """Lloyd's k-means on device. Returns (centroids (k,d), assign (n,))."""
+    n, d = x.shape
+    key = jax.random.PRNGKey(seed)
+    init_idx = jax.random.permutation(key, n)[:k]
+    cents = x[init_idx]
+
+    def step(cents, _):
+        d2 = _sqdist(x, cents)  # (n, k)
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (n, k)
+        counts = jnp.sum(onehot, axis=0)  # (k,)
+        sums = jax.lax.dot_general(
+            onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (k, d)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        cents2 = jnp.where(counts[:, None] > 0, new, cents)
+        return cents2, None
+
+    cents, _ = jax.lax.scan(step, cents, None, length=iters)
+    d2 = _sqdist(x, cents)
+    return cents, jnp.argmin(d2, axis=1), d2
+
+
+def _sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
+    xx = jnp.sum(x * x, axis=1)[:, None]
+    yy = jnp.sum(y * y, axis=1)[None, :]
+    g = jax.lax.dot_general(
+        x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(xx + yy - 2.0 * g, 0.0)
+
+
+def _bucket_merge_loop(
+    x: jax.Array,  # (B, d)
+    count: jax.Array,  # i32 — actual items in this bucket
+    n_target: jax.Array,  # i32
+    max_size: jax.Array,  # i32
+    update_rule: str,
+):
+    """Fixed-trip-count merge loop for one bucket (vmap/shard friendly)."""
+    B = x.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    active0 = idx < count
+    state = _LoopState(
+        D=pairwise_ward_singleton(x.astype(jnp.float32)),
+        sizes=jnp.where(active0, 1, 0).astype(jnp.int32),
+        births=jnp.where(active0, idx, _BIG_I32 - B + idx),
+        cents=x.astype(jnp.float32),
+        active=active0,
+        counter=count.astype(jnp.int32),
+        num_active=count.astype(jnp.int32),
+        log=jnp.zeros((max(B - 1, 1), 3), jnp.int32),
+        step=jnp.int32(0),
+        found=jnp.bool_(True),
+    )
+    body = partial(_merge_body, max_size=max_size, update_rule=update_rule)
+
+    def fori_body(_, st):
+        pred = st.found & (st.num_active > n_target)
+        new = body(st)
+        return jax.tree.map(
+            lambda a, b: jnp.where(pred, a, b) if a.ndim == 0
+            else jnp.where(jnp.reshape(pred, (1,) * a.ndim), a, b),
+            new,
+            st,
+        )
+
+    state = jax.lax.fori_loop(0, B - 1, fori_body, state)
+    return state.log, state.step, state.births, state.sizes, state.active
+
+
+@partial(jax.jit, static_argnames=("update_rule",))
+def _all_buckets(xs, counts, targets, max_size, update_rule="lance_williams"):
+    """vmap the bucket merge loop over the leading bucket axis."""
+    return jax.vmap(
+        lambda x, c, t: _bucket_merge_loop(x, c, t, max_size, update_rule)
+    )(xs, counts, targets)
+
+
+def _repair_buckets(
+    assign: np.ndarray,
+    d2: np.ndarray,
+    n_buckets: int,
+    capacity: int,
+    min_size: int,
+) -> list[list[int]]:
+    """Host-side capacity repair: every bucket ends with
+    min_size <= len <= capacity (items spill to their next-nearest bucket)."""
+    buckets: list[list[int]] = [[] for _ in range(n_buckets)]
+    for i, a in enumerate(assign):
+        buckets[int(a)].append(i)
+
+    order = np.argsort(d2, axis=1)  # (n, k): buckets by preference per item
+
+    # Spill overflow: keep the `capacity` closest items, re-home the rest.
+    for b in range(n_buckets):
+        if len(buckets[b]) <= capacity:
+            continue
+        members = sorted(buckets[b], key=lambda i: d2[i, b])
+        keep, spill = members[:capacity], members[capacity:]
+        buckets[b] = keep
+        for i in spill:
+            for nb in order[i]:
+                nb = int(nb)
+                if nb != b and len(buckets[nb]) < capacity:
+                    buckets[nb].append(i)
+                    break
+            else:  # pragma: no cover — only if every bucket is full
+                buckets[b].append(i)
+
+    # Dissolve under-min buckets into the members' next-best buckets.
+    for b in range(n_buckets):
+        if 0 < len(buckets[b]) < min_size:
+            members, buckets[b] = buckets[b], []
+            for i in members:
+                placed = False
+                for nb in order[i]:
+                    nb = int(nb)
+                    if nb != b and min_size <= len(buckets[nb]) < capacity:
+                        buckets[nb].append(i)
+                        placed = True
+                        break
+                if not placed:
+                    for nb in order[i]:
+                        nb = int(nb)
+                        if nb != b and len(buckets[nb]) < capacity:
+                            buckets[nb].append(i)
+                            placed = True
+                            break
+                if not placed:  # pragma: no cover
+                    buckets[b].append(i)
+    return [b for b in buckets if b]
+
+
+def _bucket_target(count: int, min_size: int, max_size: int) -> int:
+    """Per-bucket cluster-count target. Falls back to ceil(count/max_size)
+    when the (min,max) pair is infeasible for this count — scalable-mode
+    deviation; the exact engine raises instead (clustering.go:168-186)."""
+    try:
+        return calculate_optimal_clusters(count, min_size, max_size)
+    except Exception:
+        return max(1, math.ceil(count / max_size))
+
+
+def constrained_ward_bucketed(
+    embeddings: np.ndarray | jax.Array,
+    ids: Sequence[str] | None = None,
+    *,
+    min_size: int = 3,
+    max_size: int = 6,
+    bucket_size: int = 512,
+    kmeans_iters: int = 8,
+    update_rule: str = "lance_williams",
+    mesh: Mesh | None = None,
+    seed: int = 0,
+) -> ClusterResult:
+    """Scalable constrained Ward over k-means buckets.
+
+    With ``mesh`` given, the bucket axis is sharded over the mesh's 'data'
+    axis so buckets cluster in parallel on every chip.
+    """
+    x = np.asarray(embeddings, dtype=np.float32)
+    n, d = x.shape
+    if ids is None:
+        ids = [f"img_{i}" for i in range(n)]
+    calculate_optimal_clusters(n, min_size, max_size)  # global feasibility
+
+    fill = max(min_size, int(bucket_size * 0.75))
+    n_buckets = max(1, math.ceil(n / fill))
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        n_buckets = max(1, math.ceil(n_buckets / n_dev) * n_dev)
+    if n_buckets == 1:
+        from imageclust_tpu.cluster.ward import constrained_ward
+
+        return constrained_ward(
+            x, ids, min_size=min_size, max_size=max_size, update_rule=update_rule
+        )
+
+    _, assign, d2 = kmeans(jnp.asarray(x), n_buckets, kmeans_iters, seed)
+    buckets = _repair_buckets(
+        np.asarray(assign), np.asarray(d2), n_buckets, bucket_size, min_size
+    )
+
+    nb = len(buckets)
+    if mesh is not None:
+        n_dev = mesh.shape["data"]
+        # pad bucket count to a multiple of the data axis with empty buckets
+        while nb % n_dev != 0:
+            buckets.append([])
+            nb += 1
+
+    xs = np.zeros((nb, bucket_size, d), np.float32)
+    counts = np.zeros(nb, np.int32)
+    targets = np.zeros(nb, np.int32)
+    for bi, members in enumerate(buckets):
+        c = len(members)
+        counts[bi] = c
+        xs[bi, :c] = x[members]
+        targets[bi] = _bucket_target(c, min_size, max_size) if c else 0
+
+    xs_j = jnp.asarray(xs)
+    counts_j = jnp.asarray(counts)
+    targets_j = jnp.asarray(targets)
+    if mesh is not None:
+        shard = NamedSharding(mesh, P("data"))
+        xs_j = jax.device_put(xs_j, NamedSharding(mesh, P("data", None, None)))
+        counts_j = jax.device_put(counts_j, shard)
+        targets_j = jax.device_put(targets_j, shard)
+
+    logs, steps, births, sizes, active = _all_buckets(
+        xs_j, counts_j, targets_j, jnp.int32(max_size), update_rule=update_rule
+    )
+    logs = np.asarray(logs)
+    steps = np.asarray(steps)
+    births = np.asarray(births)
+    active = np.asarray(active)
+
+    cluster_map: dict[int, list[str]] = {}
+    index_map: dict[int, list[int]] = {}
+    dropped: list[str] = []
+    all_logs: list[np.ndarray] = []
+    cid = 0
+    for bi, members in enumerate(buckets):
+        c = len(members)
+        if c == 0:
+            continue
+        log_b = logs[bi][: int(steps[bi])]
+        all_logs.append(log_b)
+        children = {int(new): (int(hi), int(lo)) for hi, lo, new in log_b}
+        surviving = sorted(int(b) for b in births[bi][active[bi]])
+        for birth in surviving:
+            local = _leaf_indices(birth, c, children)
+            global_members = [members[k] for k in local]
+            if len(global_members) < min_size:
+                dropped.extend(ids[k] for k in global_members)
+                continue
+            cluster_map[cid] = [ids[k] for k in global_members]
+            index_map[cid] = global_members
+            cid += 1
+
+    result = ClusterResult(
+        cluster_map=cluster_map,
+        dropped=dropped,
+        merges=np.concatenate(all_logs) if all_logs else np.zeros((0, 3), np.int32),
+        n_items=n,
+        n_clusters_target=sum(int(t) for t in targets),
+    )
+    result._index_map = index_map
+    return result

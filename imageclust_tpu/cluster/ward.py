@@ -1,0 +1,362 @@
+"""Size-constrained Ward agglomerative clustering, TPU-native.
+
+Re-implements the observable semantics of the reference engine
+(/root/reference/internal/clustering/clustering.go:198-284) as a vectorized,
+static-shape JAX program:
+
+* the n x n Ward distance matrix is one device array (the reference rebuilds
+  Go slice-of-slices each merge, clustering.go:61-116),
+* each merge iteration is a fused masked-argmin + rank-1 row/col update under
+  ``lax.while_loop`` (the reference rescans the full matrix in nested Go
+  loops, clustering.go:119-133 — O(n^2) per merge),
+* clusters never move in memory: slots are deactivated by mask instead of Go
+  slice surgery (clustering.go:51-58), and the reference's list ordering is
+  reproduced exactly via per-cluster "birth" stamps (survivors keep relative
+  order; merged clusters append at the end, clustering.go:240-241),
+* the maxSize "poison the pair and rescan" rule (clustering.go:228-234) is
+  equivalent to masking infeasible pairs out of the argmin, because cluster
+  sizes never shrink — a pair that is ever oversized stays oversized,
+* the under-min drop (clustering.go:268-271) and oversized-split
+  (clustering.go:248-262, :295-349) passes are applied on the host from the
+  merge log.
+
+Tie-breaking parity: Go scans i in 0..n-1, j in 0..i-1 with strict '<'
+(clustering.go:123-130), so the first minimal pair in list order wins. List
+order equals birth order, so among equal distances we pick the pair with the
+lexicographically smallest (birth_hi, birth_lo).
+
+The merge loop records a merge log (birth_hi, birth_lo, new_birth); the host
+reconstructs each final cluster's item list as indices(hi) ++ indices(lo) —
+matching ``MergeClusters``'s append order where argument ``a`` is the
+higher-index cluster (clustering.go:29-47 with the call at :237).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ClusterResult",
+    "ConstraintError",
+    "calculate_optimal_clusters",
+    "constrained_ward",
+    "pairwise_ward_singleton",
+]
+
+_BIG_I32 = np.int32(2**31 - 1)
+
+
+class ConstraintError(ValueError):
+    """Raised where the reference returns (nil, false) on impossible sizes
+    (clustering.go:168-186)."""
+
+
+def calculate_optimal_clusters(total_items: int, min_size: int, max_size: int) -> int:
+    """Target cluster count heuristic — parity with clustering.go:168-186."""
+    if total_items < min_size:
+        raise ConstraintError(
+            f"total items ({total_items}) less than minimum cluster size ({min_size})"
+        )
+    n_min = math.ceil(total_items / max_size)
+    n_max = math.floor(total_items / min_size)
+    if n_min > n_max:
+        raise ConstraintError(
+            f"cannot satisfy cluster size constraints with total items "
+            f"({total_items}), minSize ({min_size}), and maxSize ({max_size})"
+        )
+    if n_min < n_max:
+        return (n_min + n_max) // 2
+    return n_min
+
+
+@dataclass
+class ClusterResult:
+    """Outcome of a constrained-Ward run.
+
+    ``cluster_map`` maps sequential cluster ids to item-id lists in the exact
+    order the reference emits (clustering.go:264-280); ``dropped`` lists items
+    whose cluster fell below ``min_size`` (the reference silently discards
+    them, clustering.go:268-271); ``merges`` is the (hi, lo, new) birth-stamp
+    dendrogram, a strict superset of what the reference exposes.
+    """
+
+    cluster_map: dict[int, list[str]]
+    dropped: list[str]
+    merges: np.ndarray  # (num_merges, 3) int32
+    n_items: int
+    n_clusters_target: int
+
+    def assignments(self) -> np.ndarray:
+        """Per-item cluster id (-1 for dropped items), by item position."""
+        out = np.full(self.n_items, -1, dtype=np.int64)
+        for cid, members in self._index_map.items():
+            out[members] = cid
+        return out
+
+    # populated by constrained_ward; maps cluster id -> item indices
+    _index_map: dict[int, list[int]] = None  # type: ignore[assignment]
+
+
+class _LoopState(NamedTuple):
+    D: jax.Array  # (n, n) f32 Ward distances between slots
+    sizes: jax.Array  # (n,) i32
+    births: jax.Array  # (n,) i32 — Go list order == sorted birth order
+    cents: jax.Array  # (n, d) f32
+    active: jax.Array  # (n,) bool
+    counter: jax.Array  # i32 next birth stamp
+    num_active: jax.Array  # i32
+    log: jax.Array  # (n-1, 3) i32 merge log
+    step: jax.Array  # i32 merges performed
+    found: jax.Array  # bool — False once no feasible pair remains
+
+
+def pairwise_ward_singleton(x: jax.Array) -> jax.Array:
+    """Initial Ward distances between singletons: 0.5 * ||xi - xj||^2.
+
+    Matches WardDistance for size-1 clusters (clustering.go:136-145 with
+    |a|=|b|=1). Uses a Gram matmul (MXU) at HIGHEST precision — the distance
+    scale decides merges, so f32 accuracy is kept.
+    """
+    sq = jnp.sum(x * x, axis=1)
+    gram = jax.lax.dot_general(
+        x,
+        x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d2 = sq[:, None] + sq[None, :] - 2.0 * gram
+    return 0.5 * jnp.maximum(d2, 0.0)
+
+
+def _merge_body(state: _LoopState, *, max_size: jax.Array, update_rule: str) -> _LoopState:
+    n = state.D.shape[0]
+    f32 = jnp.float32
+    act = state.active
+    valid = act[:, None] & act[None, :]
+    valid = valid & ~jnp.eye(n, dtype=bool)
+    feas = (state.sizes[:, None] + state.sizes[None, :]) <= max_size
+    ok = valid & feas
+    E = jnp.where(ok, state.D, jnp.inf)
+
+    dmin = jnp.min(E)
+    found = jnp.isfinite(dmin)
+
+    # Tie-break: lexicographically smallest (birth_hi, birth_lo) among minima
+    # == first pair in Go scan order (clustering.go:123-130).
+    tie = ok & (E == dmin)
+    b = state.births
+    bhi = jnp.maximum(b[:, None], b[None, :])
+    blo = jnp.minimum(b[:, None], b[None, :])
+    m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
+    m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
+
+    sa = jnp.argmax(b == m1)  # slot of Go's clusters[i] (later in list)
+    sb = jnp.argmax(b == m2)  # slot of Go's clusters[j]
+
+    s_a = state.sizes[sa]
+    s_b = state.sizes[sb]
+    s_new = s_a + s_b
+    c_new = (
+        s_a.astype(f32) * state.cents[sa] + s_b.astype(f32) * state.cents[sb]
+    ) / s_new.astype(f32)
+
+    sizes_f = state.sizes.astype(f32)
+    s_new_f = s_new.astype(f32)
+    if update_rule == "centroid":
+        # Recompute the merged cluster's row from centroids — exactly what the
+        # reference does after every merge (clustering.go:83-87).
+        diff = state.cents - c_new[None, :]
+        sq = jnp.sum(diff * diff, axis=1)
+        dvec = (s_new_f * sizes_f / (s_new_f + sizes_f)) * sq
+    elif update_rule == "lance_williams":
+        # Ward Lance-Williams recurrence — identical in exact arithmetic,
+        # O(n) instead of O(n*d) per merge.
+        d_ab = state.D[sa, sb]
+        dvec = (
+            (s_a.astype(f32) + sizes_f) * state.D[sa]
+            + (s_b.astype(f32) + sizes_f) * state.D[sb]
+            - sizes_f * d_ab
+        ) / (s_new_f + sizes_f)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown update_rule: {update_rule}")
+    dvec = dvec.at[sa].set(0.0)
+
+    new_birth = state.counter
+    D = state.D.at[sa, :].set(dvec).at[:, sa].set(dvec)
+    sizes = state.sizes.at[sa].set(s_new).at[sb].set(0)
+    births = b.at[sa].set(new_birth)
+    cents = state.cents.at[sa].set(c_new)
+    active = act.at[sb].set(False)
+    log = state.log.at[state.step].set(jnp.stack([m1, m2, new_birth]))
+
+    # Gate every update on `found`: if no feasible pair remained, this body
+    # must be a no-op and the loop exits via the `found` flag.
+    gate = lambda new, old: jnp.where(found, new, old)
+    return _LoopState(
+        D=gate(D, state.D),
+        sizes=gate(sizes, state.sizes),
+        births=gate(births, state.births),
+        cents=gate(cents, state.cents),
+        active=gate(active, state.active),
+        counter=gate(state.counter + 1, state.counter),
+        num_active=gate(state.num_active - 1, state.num_active),
+        log=gate(log, state.log),
+        step=gate(state.step + 1, state.step),
+        found=found,
+    )
+
+
+@partial(jax.jit, static_argnames=("update_rule",))
+def _merge_loop(
+    x: jax.Array,  # (n_pad, d) f32, rows >= n_items are padding
+    n_items: jax.Array,  # i32
+    n_target: jax.Array,  # i32
+    max_size: jax.Array,  # i32
+    update_rule: str = "centroid",
+):
+    """Run the full constrained merge loop on device; returns the merge log."""
+    n_pad, _ = x.shape
+    f32 = jnp.float32
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    active0 = idx < n_items
+
+    D0 = pairwise_ward_singleton(x.astype(f32))
+    state = _LoopState(
+        D=D0,
+        sizes=jnp.where(active0, 1, 0).astype(jnp.int32),
+        # padding slots get huge births so they can never win a tie (they are
+        # also masked out via `active`).
+        births=jnp.where(active0, idx, _BIG_I32 - n_pad + idx),
+        cents=x.astype(f32),
+        active=active0,
+        counter=n_items.astype(jnp.int32),
+        num_active=n_items.astype(jnp.int32),
+        log=jnp.zeros((max(n_pad - 1, 1), 3), jnp.int32),
+        step=jnp.int32(0),
+        found=jnp.bool_(True),
+    )
+
+    body = partial(_merge_body, max_size=max_size, update_rule=update_rule)
+    state = jax.lax.while_loop(
+        lambda st: st.found & (st.num_active > n_target),
+        body,
+        state,
+    )
+    return state.log, state.step, state.births, state.sizes, state.active
+
+
+def _pad_len(n: int) -> int:
+    """Round up to a lane-aligned padded size to bound recompilations."""
+    return max(128, int(128 * math.ceil(n / 128)))
+
+
+def _leaf_indices(birth: int, n_items: int, children: dict[int, tuple[int, int]]) -> list[int]:
+    """Expand a cluster birth stamp into its item indices in Go append order:
+    indices(hi-child) then indices(lo-child) (clustering.go:29-47)."""
+    out: list[int] = []
+    stack = [birth]
+    while stack:
+        node = stack.pop()
+        if node < n_items:
+            out.append(node)
+        else:
+            hi, lo = children[node]
+            stack.append(lo)
+            stack.append(hi)
+    return out
+
+
+def _run_merges(
+    x: np.ndarray, n_target: int, max_size: int, update_rule: str
+) -> tuple[list[list[int]], np.ndarray]:
+    """Run the device loop; return surviving clusters' index lists in Go list
+    order (birth order) plus the merge log."""
+    n = x.shape[0]
+    n_pad = _pad_len(n)
+    xp = np.zeros((n_pad, x.shape[1]), np.float32)
+    xp[:n] = x
+    log, steps, births, sizes, active = _merge_loop(
+        jnp.asarray(xp),
+        jnp.int32(n),
+        jnp.int32(n_target),
+        jnp.int32(max_size),
+        update_rule=update_rule,
+    )
+    log = np.asarray(log)[: int(steps)]
+    births = np.asarray(births)
+    active = np.asarray(active)
+
+    children = {int(new): (int(hi), int(lo)) for hi, lo, new in log}
+    surviving = sorted(int(b) for b in births[active])
+    clusters = [_leaf_indices(b, n, children) for b in surviving]
+    return clusters, log
+
+
+def constrained_ward(
+    embeddings: np.ndarray | jax.Array,
+    ids: Sequence[str] | None = None,
+    *,
+    min_size: int = 3,
+    max_size: int = 6,
+    update_rule: str = "centroid",
+) -> ClusterResult:
+    """Cluster ``embeddings`` under [min_size, max_size] Ward semantics.
+
+    Drop-in behavioral equivalent of ``PerformClusteringWithConstraints``
+    (clustering.go:198-284). Raises :class:`ConstraintError` where the
+    reference returns (nil, false).
+    """
+    x = np.asarray(embeddings, dtype=np.float32)
+    if x.ndim != 2:
+        raise ValueError(f"embeddings must be (n, d), got {x.shape}")
+    n = x.shape[0]
+    if ids is None:
+        ids = [f"img_{i}" for i in range(n)]  # workflow.go:140 id scheme
+    if len(ids) != n:
+        raise ValueError("ids length must match embeddings")
+
+    n_target = calculate_optimal_clusters(n, min_size, max_size)
+    clusters, log = _run_merges(x, n_target, max_size, update_rule)
+
+    # Oversized-split pass (clustering.go:248-262). Unreachable through the
+    # public path (the merge loop never exceeds max_size) but preserved:
+    # re-run the engine on the subset with the minSize=1 target
+    # (clustering.go:303).
+    final: list[list[int]] = []
+    for members in clusters:
+        if len(members) > max_size:
+            sub_target = calculate_optimal_clusters(len(members), 1, max_size)
+            sub_clusters, _ = _run_merges(x[members], sub_target, max_size, update_rule)
+            final.extend([members[k] for k in sub] for sub in sub_clusters)
+        else:
+            final.append(members)
+
+    cluster_map: dict[int, list[str]] = {}
+    index_map: dict[int, list[int]] = {}
+    dropped: list[str] = []
+    cid = 0
+    for members in final:
+        if len(members) < min_size:  # clustering.go:268-271
+            dropped.extend(ids[k] for k in members)
+            continue
+        cluster_map[cid] = [ids[k] for k in members]
+        index_map[cid] = members
+        cid += 1
+
+    result = ClusterResult(
+        cluster_map=cluster_map,
+        dropped=dropped,
+        merges=log,
+        n_items=n,
+        n_clusters_target=n_target,
+    )
+    result._index_map = index_map
+    return result

@@ -1,0 +1,236 @@
+"""Typed configuration for the whole framework.
+
+The reference scattered its knobs across hardcoded constants (cluster sizes
+(3,6) at internal/handlers/handlers.go:111, model path at
+internal/workflow/workflow.go:49, AWS regions at workflow.go:44 and
+internal/ai/claude-haiku/claude-haiku.go:46, Rekognition params at
+workflow.go:129 / internal/embeddings/embeddings.go:208, retries at
+workflow.go:211) and shipped a dead config module
+(internal/config/config.go:22-52 — never called). Here every knob lives in one
+dataclass tree that can be loaded from YAML, overridden by environment
+variables, and overridden again programmatically / from the CLI. The
+``min/max`` cluster sizes the frontend sends (frontend
+ImageUploadForm.jsx:52-53) are honored instead of ignored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+__all__ = [
+    "ClusterConfig",
+    "PreprocessConfig",
+    "EmbedConfig",
+    "LabelConfig",
+    "NamingConfig",
+    "ServiceConfig",
+    "MeshConfig",
+    "AppConfig",
+    "load_config",
+]
+
+_ENV_PREFIX = "IMAGECLUST_"
+
+
+@dataclass
+class ClusterConfig:
+    """Size-constrained Ward clustering knobs.
+
+    Defaults mirror the reference's hardcoded ``NewImageCluster(3, 6, ...)``
+    (internal/handlers/handlers.go:111).
+    """
+
+    min_size: int = 3
+    max_size: int = 6
+    # "centroid" recomputes merged-cluster distances from centroids exactly as
+    # the reference does (clustering.go:76-96 calls WardDistance on the new
+    # centroid); "lance_williams" uses the O(n) Lance-Williams recurrence —
+    # identical in exact arithmetic, cheaper at scale.
+    update_rule: str = "centroid"
+    # Number of images above which the pipeline switches from the exact
+    # single-matrix engine to the bucketed/sharded engine.
+    exact_limit: int = 4096
+    # Bucket capacity for the scalable engine (images per independently
+    # clustered bucket; buckets run vmapped / sharded across devices).
+    bucket_size: int = 512
+    # Lloyd iterations for the k-means bucketing stage.
+    kmeans_iters: int = 8
+
+
+@dataclass
+class PreprocessConfig:
+    """Device-side preprocessing — parity with embeddings.go:46-116.
+
+    The reference resizes to 224x224 with OpenCV INTER_LINEAR, converts
+    BGR->RGB, scales by 1/255, applies NO mean/std normalization
+    (``BlobFromImage(rgb, 1/255, ..., swapRB=false, crop=false)``,
+    embeddings.go:96). We keep those numerics bit-faithful in float32.
+    """
+
+    size: int = 224
+    scale: float = 1.0 / 255.0
+    # The reference feeds raw 1/255 pixels with no mean/std; CLIP-style
+    # embedders override these per-model.
+    mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    std: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Host-side decode workers (C++ runtime / thread pool).
+    decode_workers: int = 8
+
+
+@dataclass
+class EmbedConfig:
+    """Embedding model selection and execution."""
+
+    # Registry name: "resnet50" (parity with resnet50-v1-7.onnx),
+    # "vit_b32", "vit_l14", "siglip_so400m".
+    model: str = "resnet50"
+    # Path to the ONNX checkpoint for resnet50 parity weights; the mirror of
+    # the reference strips the blob (.MISSING_LARGE_BLOBS:1) so random init is
+    # used when the file is absent.
+    onnx_path: str = "resnet50-v1-7.onnx"
+    batch_size: int = 256
+    # "logits" = the 1000-d head the reference reads (layer
+    # "resnetv17_dense0_fwd", embeddings.go:140); "pooled" = 2048-d features.
+    output: str = "logits"
+    dtype: str = "bfloat16"  # compute dtype on the MXU; outputs are float32
+    param_dtype: str = "float32"
+
+
+@dataclass
+class LabelConfig:
+    """Semantic labeling — parity with internal/rekognition."""
+
+    backend: str = "none"  # "rekognition" | "zero_shot" | "fake" | "none"
+    region: str = "us-east-1"  # workflow.go:44
+    max_labels: int = 10  # workflow.go:129
+    min_confidence: float = 75.0  # workflow.go:129
+    # BuildLabelSet used 80.0 (embeddings.go:208); kept for compatibility.
+    label_set_min_confidence: float = 80.0
+    # 5 MB Rekognition payload cap with iterative downscale
+    # (rekognition.go:21, :174-260).
+    max_payload_bytes: int = 5 * 1024 * 1024
+    cache: bool = True
+
+
+@dataclass
+class NamingConfig:
+    """LLM cluster naming — parity with internal/ai."""
+
+    # Enabled services in display order. The reference enables only
+    # "Claude Haiku v3.5" (wrapper.go:36-69); we default to the offline fake
+    # so the system works without cloud credentials.
+    services: tuple[str, ...] = ("fake",)
+    retries: int = 3  # workflow.go:211
+    retry_delay_s: float = 2.0  # claude-haiku.go:102
+    bedrock_region: str = "us-west-2"  # claude-haiku.go:46
+    max_tokens: int = 100  # claude-haiku.go:75
+    temperature: float = 0.7  # claude-haiku.go:76
+    input_char_limit: int = 1000  # claude-haiku.go:57
+
+
+@dataclass
+class ServiceConfig:
+    """HTTP service — parity with main.go / internal/handlers."""
+
+    host: str = "0.0.0.0"
+    port: int = 8080  # main.go:24
+    max_upload_bytes: int = 32 << 20  # handlers.go:71
+    static_dir: str = "frontend/build"  # main.go:21
+    # Per-job workdirs replace the reference's single global temp dir
+    # (handlers.go:26-46), fixing its one-request-clobbers-another bug.
+    work_dir: str = ""
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout for SPMD execution."""
+
+    # Axis sizes; -1 means "all remaining devices".
+    data: int = -1
+    model: int = 1
+
+
+@dataclass
+class AppConfig:
+    cluster: ClusterConfig = field(default_factory=ClusterConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    embed: EmbedConfig = field(default_factory=EmbedConfig)
+    labels: LabelConfig = field(default_factory=LabelConfig)
+    naming: NamingConfig = field(default_factory=NamingConfig)
+    service: ServiceConfig = field(default_factory=ServiceConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **sections: Any) -> "AppConfig":
+        return dataclasses.replace(self, **sections)
+
+
+def _coerce(value: str, target_type: Any) -> Any:
+    if target_type is bool:
+        return value.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is float:
+        return float(value)
+    if target_type in (tuple, tuple[str, ...]):
+        return tuple(v.strip() for v in value.split(",") if v.strip())
+    return value
+
+
+def _apply_mapping(cfg: Any, data: Mapping[str, Any]) -> Any:
+    """Recursively apply a nested mapping onto a dataclass tree."""
+    updates = {}
+    for f in dataclasses.fields(cfg):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        current = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[f.name] = _apply_mapping(current, value)
+        elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
+            updates[f.name] = tuple(value)
+        else:
+            updates[f.name] = value
+    return dataclasses.replace(cfg, **updates)
+
+
+def _apply_env(cfg: AppConfig, environ: Mapping[str, str]) -> AppConfig:
+    """Apply IMAGECLUST_<SECTION>_<FIELD>=value environment overrides."""
+    for key, raw in environ.items():
+        if not key.startswith(_ENV_PREFIX):
+            continue
+        rest = key[len(_ENV_PREFIX):].lower()
+        for f in dataclasses.fields(cfg):
+            prefix = f.name + "_"
+            if not rest.startswith(prefix):
+                continue
+            section = getattr(cfg, f.name)
+            field_name = rest[len(prefix):]
+            for sf in dataclasses.fields(section):
+                if sf.name == field_name:
+                    current = getattr(section, sf.name)
+                    coerced = _coerce(raw, type(current))
+                    section = dataclasses.replace(section, **{sf.name: coerced})
+                    cfg = dataclasses.replace(cfg, **{f.name: section})
+    return cfg
+
+
+def load_config(
+    yaml_path: str | None = None,
+    overrides: Mapping[str, Any] | None = None,
+    environ: Mapping[str, str] | None = None,
+) -> AppConfig:
+    """Build the config: defaults <- YAML <- env <- explicit overrides."""
+    cfg = AppConfig()
+    if yaml_path and os.path.exists(yaml_path):
+        import yaml
+
+        with open(yaml_path) as fh:
+            data = yaml.safe_load(fh) or {}
+        cfg = _apply_mapping(cfg, data)
+    cfg = _apply_env(cfg, environ if environ is not None else os.environ)
+    if overrides:
+        cfg = _apply_mapping(cfg, overrides)
+    return cfg

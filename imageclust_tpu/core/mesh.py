@@ -1,0 +1,66 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no distributed story at all — its only concurrency is Go
+goroutines in one process (internal/workflow/workflow.go:149-185) and its
+inference is serialized behind a mutex (internal/embeddings/embeddings.go:133).
+Here parallelism is expressed the TPU way: a ``jax.sharding.Mesh`` over the
+chips of a slice, with ``NamedSharding`` annotations and XLA-inserted
+collectives. The two axes are:
+
+* ``data``  — batch / image-shard axis (data-parallel embedding, row shards of
+  the distance matrix, bucket shards of the scalable clusterer),
+* ``model`` — tensor-parallel axis for wide layers (e.g. the 1000-way dense
+  head, ViT MLPs).
+
+Tests and the multi-chip dry run use CPU virtual devices via
+``--xla_force_host_platform_device_count``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "data_sharding", "replicated", "axis_size"]
+
+
+def create_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Create a 2-axis ('data', 'model') mesh over the available devices.
+
+    ``data=-1`` consumes all devices not claimed by ``model``.
+    """
+    devs = np.array(devices if devices is not None else jax.devices())
+    n = devs.size
+    if model <= 0:
+        model = 1
+    if data <= 0:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model > n:
+        raise ValueError(
+            f"mesh data={data} x model={model} needs {data * model} devices, "
+            f"have {n}"
+        )
+    grid = devs[: data * model].reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:
+    """Shard dimension ``axis`` of an ndim-array along the 'data' mesh axis."""
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def axis_size(mesh: Mesh, name: str) -> int:
+    return mesh.shape[name]

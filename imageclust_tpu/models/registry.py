@@ -1,0 +1,249 @@
+"""Pluggable embedder registry and the batched, sharded embed executor.
+
+The reference hardwires one embedder and runs it one image at a time behind a
+mutex (internal/embeddings/embeddings.go:119-163 — ``NetMutex`` serializes
+every forward pass). Here embedding is the TPU hot loop done right: images
+arrive as one uint8 batch, preprocessing + forward run as a single jitted
+program per batch shape, and with a mesh the batch is sharded over the
+``data`` axis (parameters replicated) so throughput scales linearly with
+chips — XLA inserts the collectives.
+
+Models: ``resnet50`` (parity with resnet50-v1-7.onnx: the 1000-d logits the
+reference calls an embedding, embeddings.go:140, or 2048-d pooled features),
+``vit_b32`` / ``vit_b16`` / ``vit_l14`` / ``vit_l14_336`` / ``siglip_so400m``
+(BASELINE.json configs 2-5).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imageclust_tpu.config import EmbedConfig, PreprocessConfig
+from imageclust_tpu.ops.preprocess import preprocess_batch
+
+log = logging.getLogger(__name__)
+
+__all__ = ["EmbedderSpec", "Embedder", "create_embedder", "list_models"]
+
+
+@dataclass(frozen=True)
+class EmbedderSpec:
+    name: str
+    input_size: int
+    dim: int
+    scale: float
+    mean: tuple[float, float, float]
+    std: tuple[float, float, float]
+    # reference keeps BGR->RGB conversion before the blob (embeddings.go:82)
+    bgr_input: bool
+
+
+def list_models() -> list[str]:
+    from imageclust_tpu.models.vit import VIT_CONFIGS
+
+    return ["resnet50", *VIT_CONFIGS.keys()]
+
+
+class Embedder:
+    """Batched embedding executor with optional data-parallel sharding."""
+
+    def __init__(
+        self,
+        spec: EmbedderSpec,
+        apply_fn: Callable[[dict, jax.Array], jax.Array],
+        variables: dict,
+        batch_size: int = 256,
+        mesh: Mesh | None = None,
+    ):
+        self.spec = spec
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._apply_fn = apply_fn
+        if mesh is not None:
+            variables = jax.device_put(
+                variables, NamedSharding(mesh, P())
+            )
+        self.variables = variables
+        self._jitted: dict[tuple, Any] = {}
+
+    # -- compiled kernels ---------------------------------------------------
+
+    def _embed_fn(self, resize: bool):
+        key = ("embed", resize)
+        if key in self._jitted:
+            return self._jitted[key]
+        spec = self.spec
+
+        def fn(variables, images_u8):
+            if resize:
+                x = preprocess_batch(
+                    images_u8,
+                    size=spec.input_size,
+                    scale=spec.scale,
+                    mean=spec.mean,
+                    std=spec.std,
+                    bgr_to_rgb=spec.bgr_input,
+                    channels_first=True,
+                )
+            else:
+                x = images_u8.astype(jnp.float32)
+                if spec.bgr_input:
+                    x = x[..., ::-1]
+                mean = jnp.asarray(spec.mean, jnp.float32)
+                std = jnp.asarray(spec.std, jnp.float32)
+                x = (x * jnp.float32(spec.scale) - mean) / std
+                x = jnp.transpose(x, (0, 3, 1, 2))
+            return self._apply_fn(variables, x)
+
+        if self.mesh is not None:
+            fn = jax.jit(
+                fn,
+                in_shardings=(
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P("data")),
+                ),
+                out_shardings=NamedSharding(self.mesh, P("data")),
+            )
+        else:
+            fn = jax.jit(fn)
+        self._jitted[key] = fn
+        return fn
+
+    # -- public API ----------------------------------------------------------
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        """Embed a uint8 (N, H, W, 3) batch (BGR if spec.bgr_input, matching
+        the reference's IMRead color order). Images already at input_size skip
+        the device resize. Returns float32 (N, dim)."""
+        images = np.asarray(images)
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(f"expected (N,H,W,3), got {images.shape}")
+        n = images.shape[0]
+        resize = images.shape[1:3] != (self.spec.input_size, self.spec.input_size)
+        fn = self._embed_fn(resize)
+
+        bs = self.batch_size
+        if self.mesh is not None:
+            ndev = self.mesh.shape["data"]
+            bs = max(ndev, (bs // ndev) * ndev)
+        out = np.empty((n, self.spec.dim), np.float32)
+        for start in range(0, n, bs):
+            chunk = images[start:start + bs]
+            c = chunk.shape[0]
+            if c < bs:  # pad the tail to the compiled batch shape
+                pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            emb = fn(self.variables, jnp.asarray(chunk))
+            out[start:start + c] = np.asarray(emb)[:c]
+        return out
+
+    def embed_blob(self, blob: np.ndarray) -> np.ndarray:
+        """Embed an already-preprocessed float32 (N, 3, S, S) blob — the
+        exact tensor the reference feeds its DNN (embeddings.go:103)."""
+        fn_key = ("blob",)
+        if fn_key not in self._jitted:
+            f = jax.jit(self._apply_fn)
+            self._jitted[fn_key] = f
+        return np.asarray(self._jitted[fn_key](self.variables, jnp.asarray(blob)))
+
+
+def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
+    from imageclust_tpu.models.resnet50 import ResNet50V1, load_onnx_params
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = ResNet50V1(dtype=dtype)
+    rng = jax.random.PRNGKey(rng_seed)
+    dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
+    variables = model.init(rng, dummy)
+    if cfg.onnx_path and os.path.exists(cfg.onnx_path):
+        variables = load_onnx_params(cfg.onnx_path, dict(variables))
+        log.info("loaded ONNX weights from %s", cfg.onnx_path)
+    else:
+        log.warning(
+            "ONNX checkpoint %s not found — using random init "
+            "(the reference mirror strips the blob, .MISSING_LARGE_BLOBS:1)",
+            cfg.onnx_path,
+        )
+
+    pooled = cfg.output == "pooled"
+
+    def apply_fn(vars_, x):
+        logits, feats = model.apply(vars_, x, return_features=True)
+        return feats if pooled else logits
+
+    spec = EmbedderSpec(
+        name="resnet50",
+        input_size=224,
+        dim=2048 if pooled else 1000,
+        scale=1.0 / 255.0,  # embeddings.go:96 — no mean/std
+        mean=(0.0, 0.0, 0.0),
+        std=(1.0, 1.0, 1.0),
+        bgr_input=True,
+    )
+    return spec, apply_fn, variables
+
+
+def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
+    from imageclust_tpu.models.vit import VIT_CONFIGS, VisionTransformer
+
+    vcfg = VIT_CONFIGS[name]
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model = VisionTransformer(vcfg, dtype=dtype)
+    rng = jax.random.PRNGKey(rng_seed)
+    dummy = jnp.zeros((1, 3, vcfg.image_size, vcfg.image_size), jnp.float32)
+    variables = model.init(rng, dummy)
+    ckpt = cfg.onnx_path
+    if ckpt and os.path.exists(ckpt) and ckpt.endswith((".pt", ".bin", ".safetensors", ".npz")):
+        variables = _load_vit_checkpoint(ckpt, vcfg, dict(variables))
+
+    def apply_fn(vars_, x):
+        return model.apply(vars_, x)
+
+    spec = EmbedderSpec(
+        name=name,
+        input_size=vcfg.image_size,
+        dim=vcfg.proj_dim,
+        scale=1.0 / 255.0,
+        mean=vcfg.mean,
+        std=vcfg.std,
+        bgr_input=True,
+    )
+    return spec, apply_fn, variables
+
+
+def _load_vit_checkpoint(path: str, vcfg, variables: dict) -> dict:
+    from imageclust_tpu.models.vit import load_clip_vision_torch
+
+    if path.endswith(".npz"):
+        sd = dict(np.load(path))
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+    loaded = load_clip_vision_torch(sd, vcfg, variables)
+    return {**variables, **loaded}
+
+
+def create_embedder(
+    cfg: EmbedConfig | None = None,
+    mesh: Mesh | None = None,
+    seed: int = 0,
+) -> Embedder:
+    cfg = cfg or EmbedConfig()
+    if cfg.model == "resnet50":
+        spec, apply_fn, variables = _build_resnet50(cfg, seed)
+    elif cfg.model in list_models():
+        spec, apply_fn, variables = _build_vit(cfg.model, cfg, seed)
+    else:
+        raise ValueError(f"unknown model {cfg.model!r}; know {list_models()}")
+    return Embedder(spec, apply_fn, variables, cfg.batch_size, mesh)

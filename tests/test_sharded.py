@@ -1,0 +1,98 @@
+"""Scalable bucketed engine + mesh sharding tests (SURVEY.md §5
+"long-context" analog: sharding over n = image count)."""
+
+import numpy as np
+import pytest
+
+from imageclust_tpu.cluster.sharded import constrained_ward_bucketed, kmeans
+from imageclust_tpu.cluster.ward import ConstraintError
+
+
+class TestKMeans:
+    def test_separable(self, rng, blobs):
+        import jax.numpy as jnp
+
+        x = blobs(rng, n_blobs=4, per_blob=32, d=8)
+        cents, assign, d2 = kmeans(jnp.asarray(x), 4, iters=10)
+        assign = np.asarray(assign)
+        assert d2.shape == (len(x), 4)
+        # all points in one blob share a k-means bucket
+        # (recover blob id from nearest original center)
+        assert len(set(assign.tolist())) == 4
+
+
+class TestBucketed:
+    def test_size_bounds_and_partition(self, rng, blobs):
+        x = blobs(rng, n_blobs=30, per_blob=8, d=8)
+        ids = [f"i{k}" for k in range(len(x))]
+        res = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64
+        )
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+        seen = [m for v in res.cluster_map.values() for m in v] + res.dropped
+        assert sorted(seen) == sorted(ids)
+
+    def test_blob_purity(self, rng):
+        # Well-separated blobs of exactly 4 points: with (min,max)=(3,6) the
+        # reference's midpoint-k heuristic (clustering.go:168-186) targets
+        # exactly one cluster per blob for any whole-blob bucket, so perfect
+        # recovery is expected. (Blobs of other sizes make the heuristic
+        # target a different k and legitimately split/drop — not a bug.)
+        d = 8
+        per = 4
+        centers = rng.normal(size=(12, d)).astype(np.float32) * 50
+        pts, want = [], []
+        for bi, c in enumerate(centers):
+            pts.append(c + rng.normal(size=(per, d)).astype(np.float32) * 0.01)
+            want.append({f"b{bi}_{j}" for j in range(per)})
+        x = np.concatenate(pts)
+        ids = [f"b{bi}_{j}" for bi in range(12) for j in range(per)]
+        # bucket_size=64 keeps capacity benign: bucketing may split blobs only
+        # under capacity pressure (an accepted scalable-mode approximation,
+        # exercised by test_size_bounds_and_partition instead).
+        res = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64
+        )
+        got = {frozenset(v) for v in res.cluster_map.values()}
+        assert got == {frozenset(w) for w in want}
+
+    def test_small_falls_back_to_exact(self, rng, blobs):
+        from imageclust_tpu.cluster.ward import constrained_ward
+
+        x = blobs(rng, n_blobs=4, per_blob=5, d=8)
+        ids = [f"i{k}" for k in range(len(x))]
+        res = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=1024
+        )
+        exact = constrained_ward(x, ids, min_size=3, max_size=6,
+                                 update_rule="lance_williams")
+        assert res.cluster_map == exact.cluster_map
+
+    def test_infeasible_raises(self, rng):
+        x = rng.random((2, 4)).astype(np.float32)
+        with pytest.raises(ConstraintError):
+            constrained_ward_bucketed(x, min_size=3, max_size=6)
+
+    def test_on_mesh(self, rng, blobs, mesh8):
+        x = blobs(rng, n_blobs=24, per_blob=8, d=8)
+        ids = [f"i{k}" for k in range(len(x))]
+        res = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=32, mesh=mesh8
+        )
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+        seen = [m for v in res.cluster_map.values() for m in v] + res.dropped
+        assert sorted(seen) == sorted(ids)
+
+
+class TestMesh:
+    def test_create_mesh_axes(self, mesh8):
+        assert mesh8.shape["data"] == 4
+        assert mesh8.shape["model"] == 2
+
+    def test_default_uses_all(self):
+        from imageclust_tpu.core.mesh import create_mesh
+
+        m = create_mesh()
+        assert m.shape["data"] * m.shape["model"] == 8

@@ -1,0 +1,167 @@
+"""Constrained-Ward engine tests: oracle parity + constraint properties.
+
+The oracle is a line-faithful NumPy transliteration of the reference
+(/root/reference/internal/clustering/clustering.go); these tests lock the TPU
+engine to its observable semantics (SURVEY.md §4 items 2-3).
+"""
+
+import numpy as np
+import pytest
+
+from imageclust_tpu.cluster import oracle
+from imageclust_tpu.cluster.ward import (
+    ConstraintError,
+    calculate_optimal_clusters,
+    constrained_ward,
+)
+
+
+class TestCalculateOptimalClusters:
+    """Parity with clustering.go:168-186."""
+
+    def test_matches_oracle_on_grid(self):
+        for n in range(1, 60):
+            for mn in range(1, 8):
+                for mx in range(mn, 10):
+                    try:
+                        want = oracle.calculate_optimal_clusters(n, mn, mx)
+                    except ValueError:
+                        with pytest.raises(ConstraintError):
+                            calculate_optimal_clusters(n, mn, mx)
+                        continue
+                    assert calculate_optimal_clusters(n, mn, mx) == want
+
+    def test_reference_default(self):
+        # n=10, (3,6): nmin=2, nmax=3 -> midpoint 2
+        assert calculate_optimal_clusters(10, 3, 6) == 2
+
+    def test_too_few_items(self):
+        with pytest.raises(ConstraintError):
+            calculate_optimal_clusters(2, 3, 6)
+
+    def test_infeasible_band(self):
+        # n=7, min=4, max=5: ceil(7/5)=2 > floor(7/4)=1
+        with pytest.raises(ConstraintError):
+            calculate_optimal_clusters(7, 4, 5)
+
+
+def _oracle_map(x, ids, mn, mx):
+    got, ok = oracle.perform_clustering_with_constraints(x, ids, mn, mx)
+    assert ok
+    return got
+
+
+@pytest.mark.parametrize("update_rule", ["centroid", "lance_williams"])
+class TestOracleParity:
+    def test_blobs_exact_assignment(self, rng, blobs, update_rule):
+        x = blobs(rng, n_blobs=6, per_blob=5, d=8)
+        ids = [f"img_{i}" for i in range(len(x))]
+        want = _oracle_map(x, ids, 3, 6)
+        got = constrained_ward(x, ids, min_size=3, max_size=6,
+                               update_rule=update_rule)
+        assert got.cluster_map == want
+
+    def test_random_data_parity(self, rng, update_rule):
+        # Uniform random points: stresses tie-breaking and the maxSize
+        # poisoning path far harder than blobs.
+        for trial in range(5):
+            x = (rng.random((24, 4)) * 4).astype(np.float32)
+            ids = [f"it{i}" for i in range(len(x))]
+            want = _oracle_map(x, ids, 2, 5)
+            got = constrained_ward(x, ids, min_size=2, max_size=5,
+                                   update_rule=update_rule)
+            assert got.cluster_map == want, f"trial {trial}"
+
+    def test_quantized_data_many_ties(self, rng, update_rule):
+        # Integer-grid data produces many exactly-equal distances; parity here
+        # proves the (birth_hi, birth_lo) tie-break matches Go's scan order.
+        for trial in range(5):
+            x = rng.integers(0, 3, size=(18, 3)).astype(np.float32)
+            ids = [str(i) for i in range(len(x))]
+            want = _oracle_map(x, ids, 2, 4)
+            got = constrained_ward(x, ids, min_size=2, max_size=4,
+                                   update_rule=update_rule)
+            assert got.cluster_map == want, f"trial {trial}"
+
+    def test_larger_job(self, rng, blobs, update_rule):
+        x = blobs(rng, n_blobs=20, per_blob=10, d=16)
+        ids = [f"img_{i}" for i in range(len(x))]
+        want = _oracle_map(x, ids, 3, 6)
+        got = constrained_ward(x, ids, min_size=3, max_size=6,
+                               update_rule=update_rule)
+        if update_rule == "centroid":
+            # bit-for-bit ordering parity: centroid mode recomputes distances
+            # exactly like clustering.go:76-96.
+            assert got.cluster_map == want
+        else:
+            # Lance-Williams rounds differently in f32, which may permute the
+            # merge ORDER among near-equal distances; the partition must match.
+            assert {frozenset(v) for v in got.cluster_map.values()} == {
+                frozenset(v) for v in want.values()
+            }
+
+
+class TestConstraintProperties:
+    """Property tests derived from clustering.go:248-280."""
+
+    @pytest.mark.parametrize("mn,mx", [(1, 3), (2, 4), (3, 6), (1, 1)])
+    def test_size_bounds(self, rng, mn, mx):
+        for _ in range(3):
+            n = int(rng.integers(max(mn, 4), 40))
+            try:
+                calculate_optimal_clusters(n, mn, mx)
+            except ConstraintError:
+                continue
+            x = rng.random((n, 5)).astype(np.float32)
+            res = constrained_ward(x, min_size=mn, max_size=mx)
+            for members in res.cluster_map.values():
+                assert mn <= len(members) <= mx
+
+    def test_partition_with_drops(self, rng):
+        x = rng.random((25, 5)).astype(np.float32)
+        ids = [f"i{k}" for k in range(25)]
+        res = constrained_ward(x, ids, min_size=3, max_size=6)
+        seen = [m for mem in res.cluster_map.values() for m in mem] + res.dropped
+        assert sorted(seen) == sorted(ids)
+        assert len(set(seen)) == 25
+
+    def test_cluster_ids_sequential(self, rng):
+        x = rng.random((30, 4)).astype(np.float32)
+        res = constrained_ward(x, min_size=2, max_size=5)
+        assert list(res.cluster_map.keys()) == list(range(len(res.cluster_map)))
+
+    def test_raises_on_infeasible(self, rng):
+        x = rng.random((2, 4)).astype(np.float32)
+        with pytest.raises(ConstraintError):
+            constrained_ward(x, min_size=3, max_size=6)
+
+    def test_assignments_array(self, rng, blobs):
+        x = blobs(rng, n_blobs=4, per_blob=5, d=8)
+        res = constrained_ward(x, min_size=3, max_size=6)
+        a = res.assignments()
+        assert a.shape == (len(x),)
+        for cid, members in res._index_map.items():
+            assert all(a[m] == cid for m in members)
+
+    def test_max_size_one(self, rng):
+        # min=max=1: every item its own cluster, zero merges.
+        x = rng.random((8, 3)).astype(np.float32)
+        res = constrained_ward(x, min_size=1, max_size=1)
+        assert len(res.cluster_map) == 8
+        assert all(len(v) == 1 for v in res.cluster_map.values())
+
+
+class TestMergeLog:
+    def test_dendrogram_shape(self, rng, blobs):
+        x = blobs(rng, n_blobs=4, per_blob=5, d=8)
+        res = constrained_ward(x, min_size=3, max_size=6)
+        merges = res.merges
+        n = len(x)
+        assert merges.shape[1] == 3
+        # every merge consumes two live births and creates a fresh one
+        created = set(range(n))
+        for hi, lo, new in merges:
+            assert int(hi) in created and int(lo) in created
+            assert int(new) not in created
+            assert hi > lo
+            created.add(int(new))
