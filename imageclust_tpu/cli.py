@@ -1,0 +1,145 @@
+"""Command-line interface.
+
+``python -m imageclust_tpu.cli run --images DIR --min 3 --max 6`` runs the
+full pipeline offline and prints the cluster-map JSON (SURVEY.md §7 minimum
+end-to-end slice); ``serve`` starts the REST service (main.go equivalent);
+``models`` lists embedders; ``bench`` runs the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="", help="YAML config path")
+    p.add_argument("--model", default=None, help="embedder (see `models`)")
+    p.add_argument("--labeler", default=None,
+                   help="labels backend: none|fake|zero_shot|rekognition")
+    p.add_argument("--namers", default=None,
+                   help="comma list: fake,claude_haiku,claude_sonnet,"
+                        "nova_micro,gpt-3.5-turbo,gpt-4")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _build_config(args) -> "AppConfig":
+    from imageclust_tpu.config import load_config
+
+    overrides: dict = {}
+    if args.model:
+        overrides.setdefault("embed", {})["model"] = args.model
+    if args.labeler is not None:
+        overrides.setdefault("labels", {})["backend"] = args.labeler
+    if args.namers is not None:
+        overrides.setdefault("naming", {})["services"] = tuple(
+            s for s in args.namers.split(",") if s
+        )
+    return load_config(args.config or None, overrides)
+
+
+def cmd_run(args) -> int:
+    from imageclust_tpu.pipeline import Pipeline
+    from imageclust_tpu.types import UploadedImage
+
+    config = _build_config(args)
+    if not os.path.isdir(args.images):
+        print(f"error: --images {args.images} is not a directory",
+              file=sys.stderr)
+        return 2
+
+    uploads = []
+    for name in sorted(os.listdir(args.images)):
+        path = os.path.join(args.images, name)
+        if os.path.isfile(path) and name.lower().endswith(
+            (".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp")
+        ):
+            with open(path, "rb") as fh:
+                uploads.append(UploadedImage(name, fh.read()))
+    if not uploads:
+        print("error: no images found", file=sys.stderr)
+        return 2
+
+    work_dir = args.out or os.path.join(args.images, ".imageclust")
+    os.makedirs(work_dir, exist_ok=True)
+    pipeline = Pipeline(config)
+    result = pipeline.run(
+        uploads, work_dir, min_size=args.min, max_size=args.max,
+        profile_dir=args.profile or None,
+    )
+    print(json.dumps(result.to_dict(), indent=2))
+    print(f"report: {result.html_path}", file=sys.stderr)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from imageclust_tpu.service.app import run_server
+
+    config = _build_config(args)
+    if args.port:
+        import dataclasses
+
+        config = config.replace(
+            service=dataclasses.replace(config.service, port=args.port)
+        )
+    run_server(config)
+    return 0
+
+
+def cmd_models(args) -> int:
+    from imageclust_tpu.models import list_models
+
+    for name in list_models():
+        print(name)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), os.pardir,
+                                      "bench.py")]
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="imageclust", description="TPU-native image clustering"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="cluster a directory of images")
+    p_run.add_argument("--images", required=True)
+    p_run.add_argument("--min", type=int, default=3)
+    p_run.add_argument("--max", type=int, default=6)
+    p_run.add_argument("--out", default="", help="work/output dir")
+    p_run.add_argument("--profile", default="",
+                       help="jax.profiler trace output dir")
+    _add_common(p_run)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_serve = sub.add_parser("serve", help="start the REST service")
+    p_serve.add_argument("--port", type=int, default=0)
+    _add_common(p_serve)
+    p_serve.set_defaults(fn=cmd_serve)
+
+    p_models = sub.add_parser("models", help="list embedder models")
+    p_models.set_defaults(fn=cmd_models)
+
+    p_bench = sub.add_parser("bench", help="run the benchmark harness")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "verbose", False) else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,87 @@
+"""Host-side image ingest: parallel decode + resize feeding device batches.
+
+The reference decodes and resizes inside the per-image embedding call
+(IMRead/Resize via cgo, internal/embeddings/embeddings.go:46-116), serialized
+behind the DNN mutex. Here ingest is a host-side stage that produces one
+uint8 BGR batch for the device: decode in a thread pool (cv2 releases the
+GIL), resize to the embedder's input size with the exact OpenCV INTER_LINEAR
+call the reference uses, and stack. The C++ native runtime
+(:mod:`imageclust_tpu.data.native`) replaces the Python pool when built.
+
+Filename sanitization matches utils.SanitizeFilename (allowlist
+[a-zA-Z0-9.-], everything else -> '_', internal/utils/utils.go:240-250).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+__all__ = ["sanitize_filename", "decode_images", "load_image_dir", "DecodeError"]
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp")
+
+
+class DecodeError(ValueError):
+    """Raised when an upload cannot be decoded — the reference fails the whole
+    run on the first bad image (embeddings.go:50-52 error path through
+    workflow.go:178-182); callers may catch per-file instead."""
+
+
+def sanitize_filename(name: str) -> str:
+    return "".join(
+        c if (c.isascii() and (c.isalnum() or c in ".-")) else "_" for c in name
+    )
+
+
+def _decode_one(data: bytes, size: int | None) -> np.ndarray:
+    try:
+        from imageclust_tpu.data.native import native_decode_resize
+
+        out = native_decode_resize(data, size)
+        if out is not None:
+            return out
+    except ImportError:
+        pass
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise DecodeError("image file might be corrupt or unreadable")
+    if size is not None and img.shape[:2] != (size, size):
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+    return img  # BGR uint8, matching IMReadColor
+
+
+def decode_images(
+    blobs: list[bytes],
+    size: int | None = 224,
+    workers: int = 8,
+) -> np.ndarray:
+    """Decode ``blobs`` to a (N, size, size, 3) uint8 BGR batch. With
+    ``size=None`` images must already share a shape."""
+    if not blobs:
+        return np.zeros((0, size or 1, size or 1, 3), np.uint8)
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        imgs = list(pool.map(lambda b: _decode_one(b, size), blobs))
+    shapes = {im.shape for im in imgs}
+    if len(shapes) > 1:
+        raise DecodeError(f"inconsistent decoded shapes: {shapes}")
+    return np.stack(imgs)
+
+
+def load_image_dir(path: str, size: int | None = 224, workers: int = 8):
+    """Load every image file under ``path`` (sorted); returns
+    (filenames, batch)."""
+    names = sorted(
+        f for f in os.listdir(path)
+        if f.lower().endswith(_IMAGE_EXTS)
+        and os.path.isfile(os.path.join(path, f))
+    )
+    blobs = []
+    for name in names:
+        with open(os.path.join(path, name), "rb") as fh:
+            blobs.append(fh.read())
+    return names, decode_images(blobs, size=size, workers=workers)

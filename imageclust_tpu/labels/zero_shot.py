@@ -1,0 +1,71 @@
+"""Local open-vocabulary labeler: zero-shot over a prototype label bank.
+
+The reference is unusable without AWS credentials (every run calls
+Rekognition, workflow.go:129). This backend labels images locally on the
+TPU: cosine similarity between the image embedding and a bank of label
+prototype vectors (e.g. CLIP text embeddings exported offline, or centroids
+of labeled examples). Confidences are mapped to Rekognition's 0-100 scale so
+the downstream thresholds (75/80, workflow.go:129 / embeddings.go:208) keep
+meaning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from imageclust_tpu.labels.base import Label
+
+__all__ = ["ZeroShotLabeler"]
+
+
+class ZeroShotLabeler:
+    def __init__(self, names: list[str], bank: np.ndarray, embedder):
+        """``bank``: (n_labels, d) prototype matrix, rows need not be
+        normalized; ``embedder``: an :class:`~imageclust_tpu.models.registry.
+        Embedder` whose dim matches d."""
+        if bank.shape[0] != len(names):
+            raise ValueError("bank rows must match names")
+        norms = np.linalg.norm(bank, axis=1, keepdims=True)
+        self.bank = (bank / np.maximum(norms, 1e-8)).astype(np.float32)
+        self.names = names
+        self.embedder = embedder
+
+    @classmethod
+    def default(cls, embedder, bank_path: str | None = None) -> "ZeroShotLabeler":
+        """Load a label bank from IMAGECLUST_LABEL_BANK (npz with 'names',
+        'vectors') or fall back to a random-projection demo bank."""
+        bank_path = bank_path or os.environ.get("IMAGECLUST_LABEL_BANK", "")
+        if embedder is None:
+            raise ValueError("zero_shot labeler needs an embedder")
+        if bank_path and os.path.exists(bank_path):
+            data = np.load(bank_path, allow_pickle=True)
+            names = [str(n) for n in data["names"]]
+            return cls(names, np.asarray(data["vectors"], np.float32), embedder)
+        # deterministic demo bank: stable pseudo-prototypes in embed space
+        rng = np.random.default_rng(7)
+        from imageclust_tpu.labels.fake import _VOCAB
+
+        bank = rng.normal(size=(len(_VOCAB), embedder.spec.dim)).astype(np.float32)
+        return cls(list(_VOCAB), bank, embedder)
+
+    def detect_labels(
+        self, image_bytes: bytes, max_labels: int, min_confidence: float
+    ) -> list[Label]:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(image_bytes, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("failed to decode image for zero-shot labeling")
+        emb = self.embedder.embed(img[None])[0]
+        emb = emb / max(np.linalg.norm(emb), 1e-8)
+        sims = self.bank @ emb  # cosine in [-1, 1]
+        conf = (sims + 1.0) * 50.0  # -> [0, 100], Rekognition-style scale
+        order = np.argsort(-conf)[: max_labels]
+        return [
+            Label(self.names[i], float(conf[i]))
+            for i in order
+            if conf[i] >= min_confidence
+        ]

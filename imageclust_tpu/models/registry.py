@@ -131,7 +131,10 @@ class Embedder:
         resize = images.shape[1:3] != (self.spec.input_size, self.spec.input_size)
         fn = self._embed_fn(resize)
 
-        bs = self.batch_size
+        # compile for the smallest power-of-two batch that covers the job
+        # (capped at batch_size) so a 12-image request doesn't pay the
+        # full-batch XLA compile.
+        bs = min(self.batch_size, max(8, 1 << (n - 1).bit_length()))
         if self.mesh is not None:
             ndev = self.mesh.shape["data"]
             bs = max(ndev, (bs // ndev) * ndev)

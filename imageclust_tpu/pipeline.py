@@ -1,0 +1,230 @@
+"""The clustering pipeline: ingest -> label -> embed -> cluster -> name -> report.
+
+Counterpart of the reference orchestrator (internal/workflow/workflow.go) with
+the architecture inverted for TPU:
+
+* the model loads ONCE per process, not per request (the reference reloads
+  the ONNX net inside every POST handler, workflow.go:49-55 via
+  handlers.go:111),
+* embedding is one batched device program over the whole upload instead of a
+  goroutine-per-image fan-in serialized behind a mutex (workflow.go:149-185,
+  embeddings.go:133-134),
+* labels are fetched once per image and reused for both the per-image record
+  and the global label set — the reference calls the labeler twice with
+  different thresholds (75 then 80) and silently gets the first call's cached
+  answer anyway (workflow.go:129, embeddings.go:208, rekognition.go:127-131),
+* clustering dispatches to the exact engine or the bucketed/sharded engine by
+  job size (config.ClusterConfig.exact_limit),
+* per-cluster label aggregation keeps first-seen order (the reference
+  iterates a Go map — nondeterministic order, workflow.go:239-245).
+
+Output shape parity: {"Cluster-<i>": ClusterDetails} (workflow.go:192) and a
+clusters.html report in the work dir.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from imageclust_tpu.cluster import constrained_ward, constrained_ward_bucketed
+from imageclust_tpu.config import AppConfig
+from imageclust_tpu.data.loader import decode_images, sanitize_filename
+from imageclust_tpu.labels import (
+    build_label_set,
+    combine_embeddings,
+    create_labeler,
+    one_hot_matrix,
+)
+from imageclust_tpu.naming import create_naming_service
+from imageclust_tpu.report import write_report
+from imageclust_tpu.types import ClusterDetails, UploadedImage
+from imageclust_tpu.utils.metrics import RunMetrics, StageTimer
+
+log = logging.getLogger(__name__)
+
+__all__ = ["Pipeline", "PipelineResult"]
+
+
+@dataclass
+class PipelineResult:
+    clusters: dict[str, ClusterDetails]
+    html_path: str
+    metrics: RunMetrics
+    dropped: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "clusters": {k: v.to_dict() for k, v in self.clusters.items()},
+            "dropped": list(self.dropped),
+            "metrics": self.metrics.to_dict(),
+            "htmlPath": self.html_path,
+        }
+
+
+class Pipeline:
+    """Long-lived pipeline: construct once, run per job."""
+
+    def __init__(self, config: AppConfig | None = None, mesh=None,
+                 embedder=None):
+        from imageclust_tpu.models import create_embedder
+
+        self.config = config or AppConfig()
+        self.mesh = mesh
+        self.embedder = embedder or create_embedder(self.config.embed, mesh)
+        self.naming = create_naming_service(self.config.naming)
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        uploads: list[UploadedImage],
+        work_dir: str,
+        min_size: int | None = None,
+        max_size: int | None = None,
+        profile_dir: str | None = None,
+    ) -> PipelineResult:
+        cfg = self.config
+        min_size = cfg.cluster.min_size if min_size is None else min_size
+        max_size = cfg.cluster.max_size if max_size is None else max_size
+        if not uploads:
+            raise ValueError("no images uploaded")
+        if min_size < 1 or max_size < min_size:
+            raise ValueError(
+                f"invalid cluster size bounds [{min_size}, {max_size}]"
+            )
+
+        metrics = RunMetrics()
+        timer = StageTimer(metrics, profile_dir)
+        metrics.counters["images"] = len(uploads)
+
+        image_dir = os.path.join(work_dir, "images")
+        cache_dir = os.path.join(work_dir, "cache")
+        os.makedirs(image_dir, exist_ok=True)  # workflow.go:110-118
+        os.makedirs(cache_dir, exist_ok=True)
+
+        with timer.profiled():
+            with timer.stage("ingest"):
+                names, blobs = self._save_uploads(uploads, image_dir)
+                item_ids = [f"img_{i}" for i in range(len(names))]  # workflow.go:140
+
+            with timer.stage("label"):
+                labeler = create_labeler(
+                    cfg.labels, cache_dir if cfg.labels.cache else None,
+                    embedder=self.embedder,
+                )
+                per_image_labels = [
+                    labeler.detect_labels(
+                        blob, cfg.labels.max_labels, cfg.labels.min_confidence
+                    )
+                    for blob in blobs
+                ]
+                label_set = build_label_set(per_image_labels)
+                metrics.counters["unique_labels"] = len(label_set)
+
+            with timer.stage("decode"):
+                batch = decode_images(
+                    blobs,
+                    size=self.embedder.spec.input_size,
+                    workers=cfg.preprocess.decode_workers,
+                )
+
+            with timer.stage("embed"):
+                image_emb = self.embedder.embed(batch)
+
+            with timer.stage("fuse"):
+                label_mat = one_hot_matrix(per_image_labels, label_set)
+                features = combine_embeddings(image_emb, label_mat)
+
+            with timer.stage("cluster"):
+                if len(features) <= cfg.cluster.exact_limit:
+                    result = constrained_ward(
+                        features, item_ids,
+                        min_size=min_size, max_size=max_size,
+                        update_rule=cfg.cluster.update_rule,
+                    )
+                else:
+                    result = constrained_ward_bucketed(
+                        features, item_ids,
+                        min_size=min_size, max_size=max_size,
+                        bucket_size=cfg.cluster.bucket_size,
+                        kmeans_iters=cfg.cluster.kmeans_iters,
+                        mesh=self.mesh,
+                    )
+                metrics.counters["clusters"] = len(result.cluster_map)
+                metrics.counters["dropped"] = len(result.dropped)
+
+            with timer.stage("name"):
+                details = self._prepare_cluster_details(
+                    result.cluster_map, item_ids, names, per_image_labels
+                )
+
+            with timer.stage("report"):
+                html_path = write_report(details, work_dir)
+
+        id_to_name = dict(zip(item_ids, names))
+        dropped_names = [id_to_name[i] for i in result.dropped]
+        log.info("pipeline done: %d clusters, %d dropped, stages %s",
+                 len(details), len(dropped_names), metrics.stages)
+        return PipelineResult(details, html_path, metrics, dropped_names)
+
+    # ------------------------------------------------------------------
+
+    def _save_uploads(
+        self, uploads: list[UploadedImage], image_dir: str
+    ) -> tuple[list[str], list[bytes]]:
+        """Persist sanitized uploads (handlers.go:86-104 + workflow.go:120-127)
+        and return (filenames, raw bytes)."""
+        names: list[str] = []
+        blobs: list[bytes] = []
+        seen: set[str] = set()
+        for up in uploads:
+            name = sanitize_filename(up.filename) or "image"
+            if name in seen:  # the reference silently overwrites collisions
+                stem, dot, ext = name.rpartition(".")
+                base = stem if dot else name
+                suffix = 1
+                candidate = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
+                while candidate in seen:
+                    suffix += 1
+                    candidate = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
+                name = candidate
+            seen.add(name)
+            with open(os.path.join(image_dir, name), "wb") as fh:
+                fh.write(up.data)
+            names.append(name)
+            blobs.append(up.data)
+        return names, blobs
+
+    def _prepare_cluster_details(
+        self,
+        cluster_map: dict[int, list[str]],
+        item_ids: list[str],
+        names: list[str],
+        per_image_labels,
+    ) -> dict[str, ClusterDetails]:
+        """workflow.go:187-229 with deterministic label order and a working
+        primary-title assignment."""
+        id_to_idx = {iid: i for i, iid in enumerate(item_ids)}
+        details: dict[str, ClusterDetails] = {}
+        for cluster_id, members in cluster_map.items():
+            d = ClusterDetails()
+            seen_labels: list[str] = []
+            for iid in members:
+                idx = id_to_idx[iid]
+                for label in per_image_labels[idx]:
+                    if label.name not in seen_labels:
+                        seen_labels.append(label.name)
+                d.images.append(names[idx])
+            d.labels = ", ".join(seen_labels)
+
+            for out in self.naming.generate_multi(d.labels):
+                d.set_output(out)
+            if d.service_outputs:  # primary = first in display order
+                d.title = d.service_outputs[0].title
+                d.catchy_phrase = d.service_outputs[0].catchy_phrase
+            details[f"Cluster-{cluster_id}"] = d  # workflow.go:192
+        return details

@@ -1,0 +1,159 @@
+"""Static HTML model-comparison report.
+
+Feature parity with internal/utils/utils.go:23-214: one card per cluster with
+the label list, a model-comparison table (service / title / catchy phrase /
+download button), a client-side JSON download of
+{title, catchyPhrase, images, labels}, and an image grid served from
+``/api/image/{name}``. Written as plain Python templating with strict HTML /
+JS escaping (the reference leans on Go html/template plus a hand-rolled
+escapeJS, utils.go:217-226).
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+
+from imageclust_tpu.types import ClusterDetails
+
+__all__ = ["render_report", "write_report"]
+
+_PAGE = """<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="UTF-8">
+<title>Model Comparison - Clustered Images</title>
+<style>
+  body {{ font-family: system-ui, sans-serif; background: #f1f3f5; margin: 0; }}
+  .container {{ width: 95%; margin: auto; padding: 20px; }}
+  .cluster {{ border: 1px solid #ccc; padding: 20px; margin-bottom: 30px;
+             border-radius: 8px; background: #fff; }}
+  .cluster h2 {{ margin-top: 0; color: #2c3e50; }}
+  .comparison-table {{ width: 100%; border-collapse: collapse; margin: 20px 0; }}
+  .comparison-table th {{ background: #f8f9fa; padding: 12px; text-align: left;
+                         border-bottom: 2px solid #dee2e6; color: #2c3e50; }}
+  .comparison-table td {{ padding: 12px; border-bottom: 1px solid #dee2e6;
+                         vertical-align: top; }}
+  .comparison-table tr:hover {{ background-color: #f8f9fa; }}
+  .image-container {{ display: flex; flex-wrap: wrap; gap: 15px; margin-top: 20px; }}
+  .image {{ text-align: center; flex: 0 0 200px; }}
+  .image img {{ max-width: 200px; height: auto; border-radius: 4px; }}
+  .download-button {{ background-color: #4CAF50; color: white; padding: 8px 16px;
+                     border: none; border-radius: 4px; cursor: pointer;
+                     font-size: 0.9em; }}
+  .download-button:hover {{ background-color: #45a049; }}
+  .labels {{ background: #f8f9fa; padding: 10px; border-radius: 4px;
+            margin-bottom: 15px; font-size: 0.9em; }}
+  .model-name {{ font-weight: 500; color: #2c3e50; }}
+  .meta {{ color: #868e96; font-size: 0.85em; margin-bottom: 16px; }}
+</style>
+<script>
+function downloadCluster(clusterId, payload) {{
+  const blob = new Blob([JSON.stringify(payload, null, 2)],
+                        {{ type: 'application/json' }});
+  const url = window.URL.createObjectURL(blob);
+  const a = document.createElement('a');
+  a.href = url;
+  a.download = 'cluster-' + clusterId + '.json';
+  document.body.appendChild(a);
+  a.click();
+  window.URL.revokeObjectURL(url);
+  document.body.removeChild(a);
+}}
+</script>
+</head>
+<body>
+<div class="container">
+  <h1>Model Comparison</h1>
+  <div class="meta">{meta}</div>
+  {clusters}
+</div>
+</body>
+</html>"""
+
+_CLUSTER = """<div class="cluster">
+  <h2>{heading}</h2>
+  <div class="labels"><strong>Labels:</strong> {labels}</div>
+  <table class="comparison-table">
+    <thead>
+      <tr><th>Model</th><th>Title</th><th>Catchy Phrase</th><th>Action</th></tr>
+    </thead>
+    <tbody>
+      {rows}
+    </tbody>
+  </table>
+  <div class="image-container">
+    {images}
+  </div>
+</div>"""
+
+
+def _js_payload(cluster_id: str, title: str, phrase: str,
+                images: list[str], labels: str) -> str:
+    """A single JSON argument for the download handler — structurally safer
+    than the reference's five string-escaped args (utils.go:155)."""
+    payload = {"title": title, "catchyPhrase": phrase,
+               "images": images, "labels": labels}
+    # json -> HTML attribute: escape quotes and tag-significant chars
+    return html.escape(json.dumps(payload), quote=True)
+
+
+def render_report(
+    clusters: dict[str, ClusterDetails],
+    image_route: str = "/api/image/",
+) -> str:
+    cards = []
+    for cluster_id in sorted(clusters, key=_cluster_sort_key):
+        info = clusters[cluster_id]
+        rows = []
+        for out in info.service_outputs:
+            payload = _js_payload(cluster_id, out.title, out.catchy_phrase,
+                                  info.images, info.labels)
+            rows.append(
+                "<tr>"
+                f'<td class="model-name">{html.escape(out.service_name)}</td>'
+                f"<td>{html.escape(out.title)}</td>"
+                f"<td>{html.escape(out.catchy_phrase)}</td>"
+                "<td><button onclick=\"downloadCluster("
+                f"'{html.escape(cluster_id, quote=True)}', {payload})\" "
+                'class="download-button">Download Cluster</button></td>'
+                "</tr>"
+            )
+        images = "".join(
+            '<div class="image">'
+            f'<img src="{image_route}{html.escape(name, quote=True)}" '
+            'alt="Cluster image" loading="lazy"></div>'
+            for name in info.images
+        )
+        heading = html.escape(info.title or cluster_id)
+        cards.append(
+            _CLUSTER.format(
+                heading=heading,
+                labels=html.escape(info.labels),
+                rows="".join(rows) or "<tr><td colspan=4>No model outputs</td></tr>",
+                images=images,
+            )
+        )
+    meta = f"{len(clusters)} clusters"
+    return _PAGE.format(meta=html.escape(meta), clusters="\n".join(cards))
+
+
+def _cluster_sort_key(cluster_id: str):
+    # "Cluster-10" after "Cluster-2"
+    tail = cluster_id.rsplit("-", 1)[-1]
+    return (0, int(tail)) if tail.isdigit() else (1, cluster_id)
+
+
+def write_report(
+    clusters: dict[str, ClusterDetails],
+    out_dir: str,
+    image_route: str = "/api/image/",
+) -> str:
+    """Write <out_dir>/clusters.html (utils.go:205-211) and return its path."""
+    path = os.path.join(out_dir, "clusters.html")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(render_report(clusters, image_route))
+    os.replace(tmp, path)
+    return path

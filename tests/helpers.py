@@ -1,0 +1,45 @@
+"""Shared test fixtures: synthetic images + a fast fake embedder."""
+
+import numpy as np
+
+
+def encode_png(img_bgr: np.ndarray) -> bytes:
+    import cv2
+
+    ok, enc = cv2.imencode(".png", img_bgr)
+    assert ok
+    return enc.tobytes()
+
+
+def color_group_images(rng, n_groups=3, per_group=4, size=64):
+    """(filenames, png bytes) for n_groups visually distinct color groups."""
+    names, blobs = [], []
+    bases = [(220, 30, 30), (30, 220, 30), (30, 30, 220), (220, 220, 30),
+             (30, 220, 220), (220, 30, 220)][:n_groups]
+    for g, base in enumerate(bases):
+        for i in range(per_group):
+            img = np.full((size, size, 3), base, np.uint8)
+            img = img + rng.integers(0, 20, img.shape).astype(np.uint8)
+            names.append(f"g{g}_img{i}.png")
+            blobs.append(encode_png(img))
+    return names, blobs
+
+
+class MeanColorEmbedder:
+    """Drop-in Embedder substitute: embeds each image as channel statistics —
+    deterministic, instant, and clusters color groups perfectly."""
+
+    class spec:
+        name = "mean_color"
+        input_size = 64
+        dim = 6
+        scale = 1.0 / 255.0
+        mean = (0.0, 0.0, 0.0)
+        std = (1.0, 1.0, 1.0)
+        bgr_input = True
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        images = np.asarray(images, np.float32) / 255.0
+        means = images.mean(axis=(1, 2))
+        stds = images.std(axis=(1, 2))
+        return np.concatenate([means * 10.0, stds], axis=1).astype(np.float32)

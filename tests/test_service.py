@@ -1,0 +1,261 @@
+"""REST API contract tests (SURVEY.md §4 item 5) against the real aiohttp app
+with the fast fake embedder."""
+
+import asyncio
+import io
+import json
+
+import numpy as np
+import pytest
+from aiohttp import FormData
+from aiohttp.test_utils import TestClient, TestServer
+
+from imageclust_tpu.config import AppConfig, LabelConfig, NamingConfig, ServiceConfig
+from imageclust_tpu.pipeline import Pipeline
+from imageclust_tpu.service.app import create_app
+from imageclust_tpu.service.jobs import JobStore
+
+from helpers import MeanColorEmbedder, color_group_images
+
+
+def _run(coro):
+    return asyncio.run(coro)
+
+
+@pytest.fixture()
+def app_factory(tmp_path):
+    def factory(static_dir=""):
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+            service=ServiceConfig(work_dir=str(tmp_path / "jobs"),
+                                  static_dir=static_dir),
+        )
+        pipeline = Pipeline(cfg, embedder=MeanColorEmbedder())
+        return create_app(cfg, pipeline, JobStore(str(tmp_path / "jobs")))
+
+    return factory
+
+
+async def _with_client(app, fn):
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        return await fn(client)
+    finally:
+        await client.close()
+
+
+def _upload_form(names, blobs, min_size=None, max_size=None):
+    form = FormData()
+    for n, b in zip(names, blobs):
+        form.add_field("images", io.BytesIO(b), filename=n,
+                       content_type="image/png")
+    if min_size is not None:
+        form.add_field("minClusterSize", str(min_size))
+    if max_size is not None:
+        form.add_field("maxClusterSize", str(max_size))
+    return form
+
+
+class TestClusterEndpoint:
+    def test_success_contract(self, app_factory, rng):
+        names, blobs = color_group_images(rng, n_groups=3, per_group=4)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 3, 6)
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            # reference contract fields (handlers.go:123-127)
+            assert data["status"] == "success"
+            assert data["filePath"].endswith("clusters.html")
+            # extensions
+            assert len(data["clusters"]) == 3
+            for v in data["clusters"].values():
+                assert 3 <= len(v["images"]) <= 6
+                assert v["serviceOutputs"][0]["serviceName"] == "Offline Namer"
+
+            # /api/view serves the report for the latest job (handlers.go:131)
+            view = await client.get("/api/view")
+            assert view.status == 200
+            html = await view.text()
+            assert "comparison-table" in html
+
+            # /api/image serves an uploaded image with the right MIME
+            img = await client.get(f"/api/image/{names[0]}")
+            assert img.status == 200
+            assert img.headers["Content-Type"] == "image/png"
+
+            # and the per-job addressing works too
+            job = data["jobId"]
+            view2 = await client.get(f"/api/view?job={job}")
+            assert view2.status == 200
+            return data
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_honors_size_params(self, app_factory, rng):
+        # the reference ignored these fields (handlers.go:111); we honor them
+        names, blobs = color_group_images(rng, n_groups=2, per_group=4)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 2, 4)
+            )
+            data = await resp.json()
+            assert resp.status == 200
+            for v in data["clusters"].values():
+                assert 2 <= len(v["images"]) <= 4
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_no_images_error_shape(self, app_factory):
+        async def scenario(client):
+            form = FormData()
+            form.add_field("minClusterSize", "3")
+            # force multipart encoding even with no file fields
+            form._is_multipart = True
+            resp = await client.post("/api/cluster", data=form)
+            assert resp.status == 400
+            data = await resp.json()
+            assert data == {"success": False,
+                            "error": "No valid images uploaded"}
+
+            # non-multipart body -> the reference's parse error shape
+            resp2 = await client.post("/api/cluster", data=b"junk")
+            assert resp2.status == 400
+            data2 = await resp2.json()
+            assert data2 == {"success": False,
+                             "error": "Failed to parse form data"}
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_invalid_sizes_rejected(self, app_factory, rng):
+        names, blobs = color_group_images(rng, n_groups=1, per_group=3)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 6, 2)
+            )
+            assert resp.status == 400
+            data = await resp.json()
+            assert data["success"] is False
+
+            resp2 = await client.post(
+                "/api/cluster",
+                data=_upload_form(names, blobs, "abc", 6),
+            )
+            assert resp2.status == 400
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_pipeline_failure_is_500_with_error_shape(self, app_factory, rng):
+        # 2 images with min_size 3 -> ConstraintError inside the pipeline
+        names, blobs = color_group_images(rng, n_groups=1, per_group=2)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 3, 6)
+            )
+            assert resp.status == 500
+            data = await resp.json()
+            assert data["success"] is False and "error" in data
+
+            # failed job visible in the job list
+            jobs = await (await client.get("/api/jobs")).json()
+            assert jobs["jobs"][0]["status"] == "failed"
+
+        _run(_with_client(app_factory(), scenario))
+
+
+class TestImageEndpoint:
+    def test_not_found_and_traversal(self, app_factory, rng):
+        names, blobs = color_group_images(rng, n_groups=1, per_group=3)
+
+        async def scenario(client):
+            await client.post("/api/cluster",
+                              data=_upload_form(names, blobs, 3, 6))
+            resp = await client.get("/api/image/nope.png")
+            assert resp.status == 404
+            # path traversal is neutralized by sanitization (utils.go:240-250)
+            resp2 = await client.get("/api/image/..%2F..%2Fjob.json")
+            assert resp2.status == 404
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_no_job_yet(self, app_factory):
+        async def scenario(client):
+            resp = await client.get("/api/image/x.png")
+            assert resp.status == 404
+            view = await client.get("/api/view")
+            assert view.status == 404
+
+        _run(_with_client(app_factory(), scenario))
+
+
+class TestMiscRoutes:
+    def test_cors_headers(self, app_factory):
+        async def scenario(client):
+            resp = await client.options("/api/cluster")
+            assert resp.status == 200
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            assert "POST" in resp.headers["Access-Control-Allow-Methods"]
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_health(self, app_factory):
+        async def scenario(client):
+            data = await (await client.get("/healthz")).json()
+            assert data["ok"] is True
+            assert data["model"] == "mean_color"
+
+        _run(_with_client(app_factory(), scenario))
+
+    def test_spa_fallback(self, app_factory, tmp_path):
+        static = tmp_path / "static"
+        static.mkdir()
+        (static / "index.html").write_text("<html>SPA</html>")
+        (static / "app.js").write_text("console.log(1)")
+
+        async def scenario(client):
+            # real file served
+            r1 = await client.get("/app.js")
+            assert r1.status == 200 and "console" in await r1.text()
+            # unknown route falls back to index.html (handlers.go:208-211)
+            r2 = await client.get("/some/client/route")
+            assert r2.status == 200 and "SPA" in await r2.text()
+            # static dir escape blocked
+            r3 = await client.get("/../job.json")
+            assert r3.status in (200, 404)  # never the file itself
+            if r3.status == 200:
+                assert "SPA" in await r3.text()
+
+        _run(_with_client(app_factory(static_dir=str(static)), scenario))
+
+    def test_job_isolation(self, app_factory, rng):
+        """Two jobs coexist — the reference's global temp dir meant job 2
+        clobbered job 1 (handlers.go:26-46)."""
+        n1, b1 = color_group_images(rng, n_groups=1, per_group=3, size=32)
+        rng2 = np.random.default_rng(99)
+        n2, b2 = color_group_images(rng2, n_groups=1, per_group=3, size=48)
+        n2 = [f"second_{x}" for x in n2]
+
+        async def scenario(client):
+            d1 = await (await client.post(
+                "/api/cluster", data=_upload_form(n1, b1, 3, 6))).json()
+            d2 = await (await client.post(
+                "/api/cluster", data=_upload_form(n2, b2, 3, 6))).json()
+            # job 1's images still retrievable by job id
+            r = await client.get(f"/api/image/{n1[0]}?job={d1['jobId']}")
+            assert r.status == 200
+            # default (latest) now serves job 2
+            r2 = await client.get(f"/api/image/{n2[0]}")
+            assert r2.status == 200
+            # result endpoint per job
+            res1 = await (await client.get(
+                f"/api/result?job={d1['jobId']}")).json()
+            assert set(res1["clusters"]) == set(d1["clusters"])
+
+        _run(_with_client(app_factory(), scenario))
