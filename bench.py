@@ -1,0 +1,146 @@
+"""Benchmark harness — the BASELINE.json north star.
+
+Measures the full compute core end-to-end on the attached TPU chip:
+**embed N images through ResNet50 (device-side preprocess included) + size-
+constrained Ward clustering of the resulting feature vectors**, the two hot
+loops the reference runs serialized on CPU (SURVEY.md §6). Default N=100k,
+target < 60 s on one v5e chip (BASELINE.json:5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 60/value}
+plus a stage breakdown on stderr. vs_baseline > 1.0 beats the north star.
+
+Synthetic uint8 image batches are generated ON DEVICE (the host never
+produces 15 GB of pixels); every batch is distinct so the clustering stage
+sees realistic feature spread. Host decode is a separate pipeline stage with
+its own benchmark (bench --decode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: compile once per shape across
+    processes (first compiles through a tunneled TPU can take minutes)."""
+    import jax
+
+    cache_dir = os.environ.get("IMAGECLUST_JAX_CACHE",
+                               os.path.join(os.path.dirname(__file__),
+                                            ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_e2e(n_images: int, batch_size: int, bucket_size: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from imageclust_tpu.config import EmbedConfig
+    from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+    from imageclust_tpu.models.registry import create_embedder
+
+    _enable_compile_cache()
+    _log(f"devices: {jax.devices()}")
+    embedder = create_embedder(
+        EmbedConfig(model="resnet50", batch_size=batch_size, output="logits")
+    )
+    fwd = embedder._embed_fn(resize=False)
+    variables = embedder.variables
+
+    @jax.jit
+    def synth_batch(seed):
+        bits = jax.random.randint(
+            jax.random.PRNGKey(seed), (batch_size, 224, 224, 3), 0, 256,
+            dtype=jnp.int32,
+        )
+        return bits.astype(jnp.uint8)
+
+    # Warm up compiles OUTSIDE the timed region, forcing a real host sync
+    # (block_until_ready can be a no-op on async tunnel transports).
+    t0 = time.perf_counter()
+    np.asarray(fwd(variables, synth_batch(0))[:1, :1])
+    _log(f"warmup/compile embed: {time.perf_counter() - t0:.1f}s")
+
+    n_batches = (n_images + batch_size - 1) // batch_size
+
+    def embed_all():
+        # Features STAY ON DEVICE — the clustering stage consumes them in
+        # HBM; only a scalar checksum crosses the wire to force completion.
+        chunks = []
+        for i in range(0, n_batches, 8):
+            chunks += [fwd(variables, synth_batch(j))
+                       for j in range(i, min(i + 8, n_batches))]
+            float(chunks[-1][0, 0])  # bound in-flight work
+        feats = jnp.concatenate(chunks)[:n_images]
+        float(feats[0, 0])
+        return feats
+
+    def cluster_all(feats):
+        return constrained_ward_bucketed(
+            feats, min_size=3, max_size=6, bucket_size=bucket_size,
+            update_rule="lance_williams",
+        )
+
+    # One untimed dry pass warms the kmeans + bucket-merge compiles for these
+    # exact shapes (persistently cached for future processes).
+    t0 = time.perf_counter()
+    cluster_all(embed_all())
+    _log(f"warmup/compile cluster: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    feats = embed_all()
+    t_embed = time.perf_counter() - t0
+    _log(f"embed: {n_images} imgs in {t_embed:.2f}s "
+         f"({n_images / t_embed:.0f} img/s/chip)")
+
+    t0 = time.perf_counter()
+    res = cluster_all(feats)
+    t_cluster = time.perf_counter() - t0
+    _log(f"cluster: {len(res.cluster_map)} clusters in {t_cluster:.2f}s "
+         f"({len(res.dropped)} dropped)")
+
+    total = t_embed + t_cluster
+    return {
+        "metric": f"e2e_embed+ward_{n_images // 1000}k_images",
+        "value": round(total, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / total, 3) if n_images >= 100_000 else
+        round((60.0 * n_images / 100_000) / total, 3),
+        "detail": {
+            "embed_s": round(t_embed, 3),
+            "cluster_s": round(t_cluster, 3),
+            "images_per_sec_chip": round(n_images / t_embed, 1),
+            "n_clusters": len(res.cluster_map),
+        },
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--bucket", type=int, default=256)
+    args = parser.parse_args()
+
+    result = bench_e2e(args.n, args.batch, args.bucket)
+    detail = result.pop("detail")
+    _log(f"detail: {json.dumps(detail)}")
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

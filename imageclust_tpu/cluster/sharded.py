@@ -7,16 +7,19 @@ either, so the scalable path decomposes the problem the TPU way:
 
 1. **Bucketing** — a few Lloyd iterations of k-means over the embeddings
    (distances via MXU matmuls), followed by a host-side capacity repair so
-   every bucket holds between ``min_size`` and ``bucket_size`` items.
+   every bucket holds between ``min_size`` and ``bucket_size`` items. Only
+   tiny per-item summaries (assigned bucket, own distance, top-K preferred
+   buckets) ever leave the device.
 2. **Per-bucket exact Ward** — the same masked-argmin merge loop as
    :mod:`imageclust_tpu.cluster.ward`, run as a ``vmap`` over buckets inside
-   one jit; with a device mesh the bucket axis is sharded over ``data`` so
-   buckets run on all chips with zero collectives.
+   one jit; bucket contents are gathered on device from the (resident)
+   feature matrix, and with a device mesh the bucket axis is sharded over
+   ``data`` so buckets run on all chips with zero collectives.
 
 Inside a bucket the semantics are exactly the reference's (same tie-breaks,
 same maxSize masking, same under-min drop). Across buckets the decomposition
-is an approximation of the global greedy merge order — the price of scaling;
-``min(n) <= exact_limit`` jobs use the exact engine instead
+approximates the global greedy merge order — the price of scaling;
+``n <= exact_limit`` jobs use the exact engine instead
 (config.ClusterConfig.exact_limit).
 """
 
@@ -43,10 +46,17 @@ from imageclust_tpu.cluster.ward import (
 
 __all__ = ["constrained_ward_bucketed", "kmeans"]
 
+_TOP_PREF = 8  # per-item bucket preferences exported to the host
 
-@partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0):
-    """Lloyd's k-means on device. Returns (centroids (k,d), assign (n,))."""
+
+@partial(jax.jit, static_argnames=("k", "iters", "top_k"))
+def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0, top_k: int = _TOP_PREF):
+    """Lloyd's k-means on device.
+
+    Returns (centroids (k,d), assign (n,), own_d (n,), top_pref (n,top_k)) —
+    everything the host-side capacity repair needs, a few bytes per item
+    instead of the full (n,k) distance matrix.
+    """
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.permutation(key, n)[:k]
@@ -56,18 +66,22 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0):
         d2 = _sqdist(x, cents)  # (n, k)
         assign = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (n, k)
-        counts = jnp.sum(onehot, axis=0)  # (k,)
+        counts = jnp.sum(onehot, axis=0)
         sums = jax.lax.dot_general(
             onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (k, d)
+        )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         cents2 = jnp.where(counts[:, None] > 0, new, cents)
         return cents2, None
 
     cents, _ = jax.lax.scan(step, cents, None, length=iters)
     d2 = _sqdist(x, cents)
-    return cents, jnp.argmin(d2, axis=1), d2
+    assign = jnp.argmin(d2, axis=1)
+    own_d = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
+    kk = min(top_k, k)
+    _, top_pref = jax.lax.top_k(-d2, kk)  # nearest-first bucket ids
+    return cents, assign, own_d, top_pref
 
 
 def _sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -119,9 +133,12 @@ def _bucket_merge_loop(
     return state.log, state.step, state.births, state.sizes, state.active
 
 
-@partial(jax.jit, static_argnames=("update_rule",))
-def _all_buckets(xs, counts, targets, max_size, update_rule="lance_williams"):
-    """vmap the bucket merge loop over the leading bucket axis."""
+@partial(jax.jit, static_argnames=("update_rule",), donate_argnums=())
+def _all_buckets(feats, bucket_idx, counts, targets, max_size,
+                 update_rule="lance_williams"):
+    """Gather each bucket's rows from the device-resident feature matrix and
+    vmap the merge loop over the bucket axis."""
+    xs = feats[bucket_idx]  # (nb, B, d) — device-side gather, no host trip
     return jax.vmap(
         lambda x, c, t: _bucket_merge_loop(x, c, t, max_size, update_rule)
     )(xs, counts, targets)
@@ -129,56 +146,50 @@ def _all_buckets(xs, counts, targets, max_size, update_rule="lance_williams"):
 
 def _repair_buckets(
     assign: np.ndarray,
-    d2: np.ndarray,
+    own_d: np.ndarray,
+    top_pref: np.ndarray,
     n_buckets: int,
     capacity: int,
     min_size: int,
 ) -> list[list[int]]:
-    """Host-side capacity repair: every bucket ends with
-    min_size <= len <= capacity (items spill to their next-nearest bucket)."""
+    """Host-side capacity repair over per-item summaries: every bucket ends
+    with min_size <= len <= capacity; spilled items go to the nearest
+    preferred bucket with space."""
     buckets: list[list[int]] = [[] for _ in range(n_buckets)]
     for i, a in enumerate(assign):
         buckets[int(a)].append(i)
 
-    order = np.argsort(d2, axis=1)  # (n, k): buckets by preference per item
+    def place(i: int, avoid: int, pred) -> bool:
+        for nb in top_pref[i]:
+            nb = int(nb)
+            if nb != avoid and pred(buckets[nb]):
+                buckets[nb].append(i)
+                return True
+        for nb in range(n_buckets):  # preference list exhausted: any space
+            if nb != avoid and pred(buckets[nb]):
+                buckets[nb].append(i)
+                return True
+        return False
 
     # Spill overflow: keep the `capacity` closest items, re-home the rest.
     for b in range(n_buckets):
         if len(buckets[b]) <= capacity:
             continue
-        members = sorted(buckets[b], key=lambda i: d2[i, b])
-        keep, spill = members[:capacity], members[capacity:]
-        buckets[b] = keep
+        members = sorted(buckets[b], key=lambda i: own_d[i])
+        buckets[b], spill = members[:capacity], members[capacity:]
         for i in spill:
-            for nb in order[i]:
-                nb = int(nb)
-                if nb != b and len(buckets[nb]) < capacity:
-                    buckets[nb].append(i)
-                    break
-            else:  # pragma: no cover — only if every bucket is full
-                buckets[b].append(i)
+            if not place(i, b, lambda lst: len(lst) < capacity):
+                buckets[b].append(i)  # pragma: no cover — everything full
 
-    # Dissolve under-min buckets into the members' next-best buckets.
+    # Dissolve under-min buckets into the members' preferred buckets.
     for b in range(n_buckets):
         if 0 < len(buckets[b]) < min_size:
             members, buckets[b] = buckets[b], []
             for i in members:
-                placed = False
-                for nb in order[i]:
-                    nb = int(nb)
-                    if nb != b and min_size <= len(buckets[nb]) < capacity:
-                        buckets[nb].append(i)
-                        placed = True
-                        break
-                if not placed:
-                    for nb in order[i]:
-                        nb = int(nb)
-                        if nb != b and len(buckets[nb]) < capacity:
-                            buckets[nb].append(i)
-                            placed = True
-                            break
-                if not placed:  # pragma: no cover
-                    buckets[b].append(i)
+                if not place(i, b,
+                             lambda lst: min_size <= len(lst) < capacity):
+                    if not place(i, b, lambda lst: len(lst) < capacity):
+                        buckets[b].append(i)  # pragma: no cover
     return [b for b in buckets if b]
 
 
@@ -193,7 +204,7 @@ def _bucket_target(count: int, min_size: int, max_size: int) -> int:
 
 
 def constrained_ward_bucketed(
-    embeddings: np.ndarray | jax.Array,
+    embeddings,
     ids: Sequence[str] | None = None,
     *,
     min_size: int = 3,
@@ -206,11 +217,16 @@ def constrained_ward_bucketed(
 ) -> ClusterResult:
     """Scalable constrained Ward over k-means buckets.
 
+    ``embeddings`` may be a numpy array or a device-resident jax array (the
+    fast path: features coming straight from the embedder never leave HBM).
     With ``mesh`` given, the bucket axis is sharded over the mesh's 'data'
     axis so buckets cluster in parallel on every chip.
     """
-    x = np.asarray(embeddings, dtype=np.float32)
-    n, d = x.shape
+    if isinstance(embeddings, jax.Array):
+        feats = embeddings.astype(jnp.float32)
+    else:
+        feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
+    n, d = feats.shape
     if ids is None:
         ids = [f"img_{i}" for i in range(n)]
     calculate_optimal_clusters(n, min_size, max_size)  # global feasibility
@@ -224,42 +240,45 @@ def constrained_ward_bucketed(
         from imageclust_tpu.cluster.ward import constrained_ward
 
         return constrained_ward(
-            x, ids, min_size=min_size, max_size=max_size, update_rule=update_rule
+            np.asarray(feats), ids, min_size=min_size, max_size=max_size,
+            update_rule=update_rule,
         )
 
-    _, assign, d2 = kmeans(jnp.asarray(x), n_buckets, kmeans_iters, seed)
+    _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)
     buckets = _repair_buckets(
-        np.asarray(assign), np.asarray(d2), n_buckets, bucket_size, min_size
+        np.asarray(assign_d), np.asarray(own_d_d), np.asarray(pref_d),
+        n_buckets, bucket_size, min_size,
     )
 
     nb = len(buckets)
     if mesh is not None:
         n_dev = mesh.shape["data"]
-        # pad bucket count to a multiple of the data axis with empty buckets
-        while nb % n_dev != 0:
+        while nb % n_dev != 0:  # pad with empty buckets for even sharding
             buckets.append([])
             nb += 1
 
-    xs = np.zeros((nb, bucket_size, d), np.float32)
+    bucket_idx = np.zeros((nb, bucket_size), np.int32)
     counts = np.zeros(nb, np.int32)
     targets = np.zeros(nb, np.int32)
     for bi, members in enumerate(buckets):
         c = len(members)
         counts[bi] = c
-        xs[bi, :c] = x[members]
+        bucket_idx[bi, :c] = members
         targets[bi] = _bucket_target(c, min_size, max_size) if c else 0
 
-    xs_j = jnp.asarray(xs)
+    idx_j = jnp.asarray(bucket_idx)
     counts_j = jnp.asarray(counts)
     targets_j = jnp.asarray(targets)
     if mesh is not None:
         shard = NamedSharding(mesh, P("data"))
-        xs_j = jax.device_put(xs_j, NamedSharding(mesh, P("data", None, None)))
+        feats = jax.device_put(feats, NamedSharding(mesh, P()))
+        idx_j = jax.device_put(idx_j, NamedSharding(mesh, P("data", None)))
         counts_j = jax.device_put(counts_j, shard)
         targets_j = jax.device_put(targets_j, shard)
 
     logs, steps, births, sizes, active = _all_buckets(
-        xs_j, counts_j, targets_j, jnp.int32(max_size), update_rule=update_rule
+        feats, idx_j, counts_j, targets_j, jnp.int32(max_size),
+        update_rule=update_rule,
     )
     logs = np.asarray(logs)
     steps = np.asarray(steps)

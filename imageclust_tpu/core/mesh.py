@@ -38,6 +38,16 @@ def create_mesh(
     n = devs.size
     if model <= 0:
         model = 1
+    if data > 0 and data * model > n and devices is None:
+        # a bigger mesh than the default backend offers was requested —
+        # fall back to the (possibly forced-count) host CPU devices, the
+        # standard way to exercise shardings without hardware.
+        try:
+            cpu = np.array(jax.devices("cpu"))
+            if cpu.size >= data * model:
+                devs, n = cpu, cpu.size
+        except RuntimeError:
+            pass
     if data <= 0:
         if n % model != 0:
             raise ValueError(f"{n} devices not divisible by model={model}")

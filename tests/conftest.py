@@ -8,11 +8,19 @@ practice for testing multi-device sharding without hardware
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments preimport jax at interpreter start (a sitecustomize TPU
+# plugin hook), making the env vars above too late — the config update wins
+# as long as no backend has initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -13,11 +13,13 @@ class TestKMeans:
         import jax.numpy as jnp
 
         x = blobs(rng, n_blobs=4, per_blob=32, d=8)
-        cents, assign, d2 = kmeans(jnp.asarray(x), 4, iters=10)
+        cents, assign, own_d, top_pref = kmeans(jnp.asarray(x), 4, iters=10)
         assign = np.asarray(assign)
-        assert d2.shape == (len(x), 4)
-        # all points in one blob share a k-means bucket
-        # (recover blob id from nearest original center)
+        assert own_d.shape == (len(x),)
+        assert top_pref.shape == (len(x), 4)
+        # nearest-preference column 0 equals the assignment
+        np.testing.assert_array_equal(np.asarray(top_pref)[:, 0], assign)
+        # all four blobs recovered as distinct buckets
         assert len(set(assign.tolist())) == 4
 
 
