@@ -136,27 +136,35 @@ def pairwise_ward_singleton(x: jax.Array) -> jax.Array:
     return 0.5 * jnp.maximum(d2, 0.0)
 
 
-def _merge_body(state: _LoopState, *, max_size: jax.Array, update_rule: str) -> _LoopState:
-    n = state.D.shape[0]
+def _merge_body(
+    state: _LoopState,
+    *,
+    max_size: jax.Array,
+    update_rule: str,
+    use_pallas: bool = False,
+) -> _LoopState:
     f32 = jnp.float32
-    act = state.active
-    valid = act[:, None] & act[None, :]
-    valid = valid & ~jnp.eye(n, dtype=bool)
-    feas = (state.sizes[:, None] + state.sizes[None, :]) <= max_size
-    ok = valid & feas
-    E = jnp.where(ok, state.D, jnp.inf)
-
-    dmin = jnp.min(E)
-    found = jnp.isfinite(dmin)
-
-    # Tie-break: lexicographically smallest (birth_hi, birth_lo) among minima
-    # == first pair in Go scan order (clustering.go:123-130).
-    tie = ok & (E == dmin)
     b = state.births
-    bhi = jnp.maximum(b[:, None], b[None, :])
-    blo = jnp.minimum(b[:, None], b[None, :])
-    m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
-    m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
+
+    # Feasible-pair argmin with the Go tie-break: lexicographically smallest
+    # (birth_hi, birth_lo) among minima == first pair in Go scan order
+    # (clustering.go:123-130). On TPU the Pallas kernel streams the matrix
+    # once; the XLA formulation is the fallback (and the vmapped/bucketed
+    # path, where pallas grid semantics differ).
+    from imageclust_tpu.ops.pallas_kernels import (
+        masked_argmin_pair,
+        masked_argmin_pair_xla,
+    )
+
+    if use_pallas:
+        dmin, m1, m2 = masked_argmin_pair(
+            state.D, b, state.sizes, state.active, max_size
+        )
+    else:
+        dmin, m1, m2 = masked_argmin_pair_xla(
+            state.D, b, state.sizes, state.active, max_size
+        )
+    found = jnp.isfinite(dmin)
 
     sa = jnp.argmax(b == m1)  # slot of Go's clusters[i] (later in list)
     sb = jnp.argmax(b == m2)  # slot of Go's clusters[j]
@@ -194,7 +202,7 @@ def _merge_body(state: _LoopState, *, max_size: jax.Array, update_rule: str) -> 
     sizes = state.sizes.at[sa].set(s_new).at[sb].set(0)
     births = b.at[sa].set(new_birth)
     cents = state.cents.at[sa].set(c_new)
-    active = act.at[sb].set(False)
+    active = state.active.at[sb].set(False)
     log = state.log.at[state.step].set(jnp.stack([m1, m2, new_birth]))
 
     # Gate every update on `found`: if no feasible pair remained, this body
@@ -244,7 +252,11 @@ def _merge_loop(
         found=jnp.bool_(True),
     )
 
-    body = partial(_merge_body, max_size=max_size, update_rule=update_rule)
+    use_pallas = (
+        jax.default_backend() == "tpu" and n_pad % 128 == 0 and n_pad >= 512
+    )
+    body = partial(_merge_body, max_size=max_size, update_rule=update_rule,
+                   use_pallas=use_pallas)
     state = jax.lax.while_loop(
         lambda st: st.found & (st.num_active > n_target),
         body,

@@ -187,6 +187,14 @@ def create_app(
         })
 
     static_dir = config.service.static_dir
+    if static_dir and not os.path.isabs(static_dir) and not os.path.isdir(static_dir):
+        # resolve the default "frontend/build" relative to the repo root so
+        # `imageclust serve` works from any cwd
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        candidate = os.path.join(repo_root, static_dir)
+        if os.path.isdir(candidate):
+            static_dir = candidate
 
     async def spa_handler(request: web.Request) -> web.StreamResponse:
         # handlers.go:199-214: /view alias, then static file, then index.html
