@@ -89,6 +89,36 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_bank(args) -> int:
+    """Build a zero-shot label bank: each subdirectory of --images is a
+    label; its prototype is the mean embedding of the contained images."""
+    import numpy as np
+
+    from imageclust_tpu.data.loader import load_image_dir
+    from imageclust_tpu.models import create_embedder
+
+    config = _build_config(args)
+    embedder = create_embedder(config.embed)
+    names, vectors = [], []
+    for label in sorted(os.listdir(args.images)):
+        sub = os.path.join(args.images, label)
+        if not os.path.isdir(sub):
+            continue
+        _, batch = load_image_dir(sub, size=embedder.spec.input_size)
+        if len(batch) == 0:
+            continue
+        emb = embedder.embed(batch)
+        vectors.append(emb.mean(axis=0))
+        names.append(label)
+    if not names:
+        print("error: no label subdirectories with images found",
+              file=sys.stderr)
+        return 2
+    np.savez(args.out, names=np.array(names), vectors=np.stack(vectors))
+    print(f"wrote {len(names)} label prototypes to {args.out}")
+    return 0
+
+
 def cmd_models(args) -> int:
     from imageclust_tpu.models import list_models
 
@@ -126,6 +156,15 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--port", type=int, default=0)
     _add_common(p_serve)
     p_serve.set_defaults(fn=cmd_serve)
+
+    p_bank = sub.add_parser(
+        "bank", help="build a zero-shot label bank from labeled image dirs"
+    )
+    p_bank.add_argument("--images", required=True,
+                        help="directory of <label>/ subdirectories")
+    p_bank.add_argument("--out", default="label_bank.npz")
+    _add_common(p_bank)
+    p_bank.set_defaults(fn=cmd_bank)
 
     p_models = sub.add_parser("models", help="list embedder models")
     p_models.set_defaults(fn=cmd_models)

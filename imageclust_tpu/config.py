@@ -97,6 +97,9 @@ class EmbedConfig:
     output: str = "logits"
     dtype: str = "bfloat16"  # compute dtype on the MXU; outputs are float32
     param_dtype: str = "float32"
+    # content-addressed per-image embedding cache (the reference's CacheDir
+    # promised this and never did it, embeddings.go:19)
+    cache: bool = True
 
 
 @dataclass

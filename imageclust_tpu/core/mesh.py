@@ -22,7 +22,31 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "data_sharding", "replicated", "axis_size"]
+__all__ = [
+    "create_mesh",
+    "data_sharding",
+    "replicated",
+    "axis_size",
+    "init_distributed",
+]
+
+
+def init_distributed() -> bool:
+    """Initialize multi-host JAX over DCN when launched under a multi-host
+    coordinator (JAX_COORDINATOR_ADDRESS / standard TPU pod metadata).
+
+    Single-host runs are a no-op. After this, ``jax.devices()`` spans every
+    host's chips and :func:`create_mesh` lays the global mesh; XLA routes
+    intra-slice collectives over ICI and cross-slice over DCN.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def create_mesh(

@@ -49,10 +49,27 @@ def _decode_one(data: bytes, size: int | None) -> np.ndarray:
 
     img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
+        # OpenCV has no GIF codec (the reference would fail such uploads at
+        # IMRead, embeddings.go:50-52); PIL covers GIF/rare formats here.
+        img = _pil_decode_bgr(data)
+    if img is None:
         raise DecodeError("image file might be corrupt or unreadable")
     if size is not None and img.shape[:2] != (size, size):
         img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
     return img  # BGR uint8, matching IMReadColor
+
+
+def _pil_decode_bgr(data: bytes):
+    import io
+
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            rgb = np.asarray(im.convert("RGB"))
+        return rgb[:, :, ::-1].copy()  # RGB -> BGR
+    except Exception:
+        return None
 
 
 def decode_images(

@@ -129,9 +129,7 @@ def native_decode_resize(data: bytes, size: int | None):
 
     img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
     if img is None:
-        from imageclust_tpu.data.loader import DecodeError
-
-        raise DecodeError("image file might be corrupt or unreadable")
+        return None  # let the caller's PIL fallback try (e.g. GIF)
     if img.shape[:2] == (size, size):
         return img
     out = native_resize_batch(img[None], size, size, threads=1)

@@ -63,10 +63,12 @@ class Embedder:
         variables: dict,
         batch_size: int = 256,
         mesh: Mesh | None = None,
+        tag: str = "",
     ):
         self.spec = spec
         self.batch_size = batch_size
         self.mesh = mesh
+        self.tag = tag or spec.name  # identity for the embedding cache
         self._apply_fn = apply_fn
         if mesh is not None:
             variables = jax.device_put(
@@ -237,6 +239,21 @@ def _load_vit_checkpoint(path: str, vcfg, variables: dict) -> dict:
     return {**variables, **loaded}
 
 
+def _weights_tag(cfg: EmbedConfig, seed: int) -> str:
+    """Embedder identity for the content-addressed embedding cache: model
+    name + a fingerprint of the weights' provenance."""
+    import hashlib
+
+    if cfg.onnx_path and os.path.exists(cfg.onnx_path):
+        h = hashlib.sha256()
+        with open(cfg.onnx_path, "rb") as fh:
+            h.update(fh.read(1 << 20))
+        st = os.stat(cfg.onnx_path)
+        h.update(str((st.st_size, int(st.st_mtime))).encode())
+        return f"{cfg.model}:{cfg.output}:{h.hexdigest()[:12]}"
+    return f"{cfg.model}:{cfg.output}:randominit-{seed}"
+
+
 def create_embedder(
     cfg: EmbedConfig | None = None,
     mesh: Mesh | None = None,
@@ -249,4 +266,5 @@ def create_embedder(
         spec, apply_fn, variables = _build_vit(cfg.model, cfg, seed)
     else:
         raise ValueError(f"unknown model {cfg.model!r}; know {list_models()}")
-    return Embedder(spec, apply_fn, variables, cfg.batch_size, mesh)
+    return Embedder(spec, apply_fn, variables, cfg.batch_size, mesh,
+                    tag=_weights_tag(cfg, seed))

@@ -133,7 +133,19 @@ class Pipeline:
                 )
 
             with timer.stage("embed"):
-                image_emb = self.embedder.embed(batch)
+                if cfg.embed.cache:
+                    from imageclust_tpu.utils.checkpoint import EmbeddingCache
+
+                    emb_cache = EmbeddingCache(
+                        os.path.join(cache_dir, "embeddings"),
+                        self.embedder.tag,
+                    )
+                    image_emb = emb_cache.embed_with_cache(
+                        self.embedder, blobs, batch
+                    )
+                    metrics.counters["embed_cache_hits"] = emb_cache.hits
+                else:
+                    image_emb = self.embedder.embed(batch)
 
             with timer.stage("fuse"):
                 label_mat = one_hot_matrix(per_image_labels, label_set)

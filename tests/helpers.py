@@ -29,6 +29,8 @@ class MeanColorEmbedder:
     """Drop-in Embedder substitute: embeds each image as channel statistics —
     deterministic, instant, and clusters color groups perfectly."""
 
+    tag = "mean_color:test"
+
     class spec:
         name = "mean_color"
         input_size = 64

@@ -105,8 +105,9 @@ class TestPipelineRun:
         names, blobs = color_group_images(rng, n_groups=1, per_group=3)
         ups = [UploadedImage(n, b) for n, b in zip(names, blobs)]
         pipe.run(ups, str(tmp_path), min_size=3, max_size=6)
-        cache_files = os.listdir(tmp_path / "cache")
-        assert len(cache_files) == 3  # one per unique image content
+        label_files = [f for f in os.listdir(tmp_path / "cache")
+                       if f.endswith("_labels.json")]
+        assert len(label_files) == 3  # one per unique image content
 
     def test_no_namers_leaves_title_empty(self, rng, tmp_path):
         cfg = AppConfig(
