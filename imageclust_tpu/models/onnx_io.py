@@ -183,7 +183,7 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
             val = value
         elif field == 4:  # s
             val = value
-        elif field == 7:  # ints (repeated)
+        elif field == 8:  # ints (repeated int64)
             if wire == 0:
                 ints.append(value)
             else:
@@ -191,7 +191,7 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
                 while pos < len(value):
                     v, pos = _read_varint(value, pos)
                     ints.append(v)
-        elif field == 8:  # floats
+        elif field == 7:  # floats (repeated float)
             if wire == 5:
                 floats.append(struct.unpack("<f", value)[0])
             else:
@@ -278,11 +278,11 @@ def _attr(name: str, value: Any) -> bytes:
     elif isinstance(value, (list, tuple)):
         if value and isinstance(value[0], float):
             for v in value:
-                msg += _tag(8, 5) + struct.pack("<f", v)
+                msg += _tag(7, 5) + struct.pack("<f", v)
             msg += _vi(20, 6)  # FLOATS
         else:
             for v in value:
-                msg += _vi(7, int(v))
+                msg += _vi(8, int(v))
             msg += _vi(20, 7)  # INTS
     else:
         msg += _vi(3, int(value)) + _vi(20, 2)  # INT

@@ -159,7 +159,11 @@ def _set_path(tree: dict, path: tuple[str, ...], value) -> None:
     node[path[-1]] = value
 
 
-def load_onnx_params(onnx_path: str, variables: dict) -> dict:
+def load_onnx_params(
+    onnx_path: str,
+    variables: dict,
+    stage_layers: Sequence[int] = GLUON_STAGE_LAYERS,
+) -> dict:
     """Ingest resnet50-v1-7.onnx weights into a Flax variables tree.
 
     ``variables`` must be the output of ``ResNet50V1().init(...)``; its
@@ -171,7 +175,7 @@ def load_onnx_params(onnx_path: str, variables: dict) -> dict:
     from imageclust_tpu.models.onnx_io import read_onnx_initializers
 
     tensors = read_onnx_initializers(onnx_path)
-    name_map = _gluon_name_map()
+    name_map = _gluon_name_map(stage_layers)
 
     params: dict = {}
     stats: dict = {}

@@ -88,9 +88,12 @@ def _argmin_kernel(D_ref, births_ref, sizes_ref, active_ref, max_size_ref,
     m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
     m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
 
-    dmin_ref[0, 0] = dmin
-    pair_ref[0, 0] = m1
-    pair_ref[0, 1] = m2
+    # each program owns row `stripe` of the full (grid, 128) output blocks
+    # (full-array blocks: scalar-per-program blocks violate the TPU tiling
+    # floor; lanes 1+ are padding)
+    dmin_ref[stripe, 0] = dmin
+    pair_ref[stripe, 0] = m1
+    pair_ref[stripe, 1] = m2
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -119,23 +122,26 @@ def masked_argmin_pair(D, births, sizes, active, max_size, interpret=False):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grid, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((grid, 1), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 2), jnp.int32),
+            jax.ShapeDtypeStruct((grid, 128), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 128), jnp.int32),
         ),
         interpret=interpret,
     )(D, births2, sizes2, active2, max_size_arr)
 
     # combine the per-stripe partials (tiny) lexicographically
     dmins = dmins[:, 0]
+    bhis = pairs[:, 0]
+    blos = pairs[:, 1]
     dmin = jnp.min(dmins)
     stripe_tie = dmins == dmin
-    m1 = jnp.min(jnp.where(stripe_tie, pairs[:, 0], _BIG_I32))
-    m2 = jnp.min(jnp.where(stripe_tie & (pairs[:, 0] == m1),
-                           pairs[:, 1], _BIG_I32))
+    m1 = jnp.min(jnp.where(stripe_tie, bhis, _BIG_I32))
+    m2 = jnp.min(jnp.where(stripe_tie & (bhis == m1), blos, _BIG_I32))
     return dmin, m1, m2
 
 
