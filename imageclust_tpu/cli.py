@@ -89,6 +89,24 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Fine-tune the ResNet50 embedder on labeled image folders."""
+    from imageclust_tpu.models.finetune import finetune_resnet50
+
+    _, classes, loss = finetune_resnet50(
+        args.images,
+        args.out,
+        epochs=args.epochs,
+        batch_size=args.batch,
+        learning_rate=args.lr,
+        onnx_out=args.onnx_out,
+        init_onnx=args.init_onnx,
+    )
+    print(json.dumps({"checkpoint": args.out, "classes": classes,
+                      "final_loss": loss}))
+    return 0
+
+
 def cmd_bank(args) -> int:
     """Build a zero-shot label bank: each subdirectory of --images is a
     label; its prototype is the mean embedding of the contained images."""
@@ -156,6 +174,22 @@ def main(argv: list[str] | None = None) -> int:
     p_serve.add_argument("--port", type=int, default=0)
     _add_common(p_serve)
     p_serve.set_defaults(fn=cmd_serve)
+
+    p_train = sub.add_parser(
+        "train", help="fine-tune the embedder on labeled image folders"
+    )
+    p_train.add_argument("--images", required=True,
+                         help="directory of <label>/ subdirectories")
+    p_train.add_argument("--out", default="checkpoints/embedder")
+    p_train.add_argument("--epochs", type=int, default=3)
+    p_train.add_argument("--batch", type=int, default=64)
+    p_train.add_argument("--lr", type=float, default=1e-3)
+    p_train.add_argument("--onnx-out", default="",
+                         help="also export the tuned model as ONNX")
+    p_train.add_argument("--init-onnx", default="",
+                         help="warm-start backbone from an ONNX checkpoint")
+    _add_common(p_train)
+    p_train.set_defaults(fn=cmd_train)
 
     p_bank = sub.add_parser(
         "bank", help="build a zero-shot label bank from labeled image dirs"

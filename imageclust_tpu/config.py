@@ -91,6 +91,9 @@ class EmbedConfig:
     # the reference strips the blob (.MISSING_LARGE_BLOBS:1) so random init is
     # used when the file is absent.
     onnx_path: str = "resnet50-v1-7.onnx"
+    # Orbax checkpoint (e.g. from `imageclust train`); takes precedence over
+    # onnx_path when set.
+    checkpoint_path: str = ""
     batch_size: int = 256
     # "logits" = the 1000-d head the reference reads (layer
     # "resnetv17_dense0_fwd", embeddings.go:140); "pooled" = 2048-d features.

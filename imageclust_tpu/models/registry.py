@@ -169,7 +169,12 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
     rng = jax.random.PRNGKey(rng_seed)
     dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
     variables = model.init(rng, dummy)
-    if cfg.onnx_path and os.path.exists(cfg.onnx_path):
+    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        from imageclust_tpu.utils.checkpoint import restore_variables
+
+        variables = restore_variables(cfg.checkpoint_path, dict(variables))
+        log.info("restored checkpoint %s", cfg.checkpoint_path)
+    elif cfg.onnx_path and os.path.exists(cfg.onnx_path):
         variables = load_onnx_params(cfg.onnx_path, dict(variables))
         log.info("loaded ONNX weights from %s", cfg.onnx_path)
     else:
@@ -244,6 +249,12 @@ def _weights_tag(cfg: EmbedConfig, seed: int) -> str:
     name + a fingerprint of the weights' provenance."""
     import hashlib
 
+    if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
+        st = os.stat(cfg.checkpoint_path)
+        fp = hashlib.sha256(
+            f"{cfg.checkpoint_path}:{st.st_size}:{int(st.st_mtime)}".encode()
+        ).hexdigest()[:12]
+        return f"{cfg.model}:{cfg.output}:ckpt-{fp}"
     if cfg.onnx_path and os.path.exists(cfg.onnx_path):
         h = hashlib.sha256()
         with open(cfg.onnx_path, "rb") as fh:
