@@ -252,8 +252,16 @@ def _merge_loop(
         found=jnp.bool_(True),
     )
 
+    import os
+
+    # opt-in until the Mosaic compile path is proven fast on the target
+    # toolchain (some transports compile kernels very slowly); the XLA
+    # formulation is already fused and fast.
     use_pallas = (
-        jax.default_backend() == "tpu" and n_pad % 128 == 0 and n_pad >= 512
+        os.environ.get("IMAGECLUST_PALLAS_ARGMIN") == "1"
+        and jax.default_backend() == "tpu"
+        and n_pad % 128 == 0
+        and n_pad >= 512
     )
     body = partial(_merge_body, max_size=max_size, update_rule=update_rule,
                    use_pallas=use_pallas)
