@@ -122,10 +122,7 @@ class Embedder:
 
     # -- public API ----------------------------------------------------------
 
-    def embed(self, images: np.ndarray) -> np.ndarray:
-        """Embed a uint8 (N, H, W, 3) batch (BGR if spec.bgr_input, matching
-        the reference's IMRead color order). Images already at input_size skip
-        the device resize. Returns float32 (N, dim)."""
+    def _embed_chunks(self, images: np.ndarray) -> list[jax.Array]:
         images = np.asarray(images)
         if images.ndim != 4 or images.shape[-1] != 3:
             raise ValueError(f"expected (N,H,W,3), got {images.shape}")
@@ -140,7 +137,7 @@ class Embedder:
         if self.mesh is not None:
             ndev = self.mesh.shape["data"]
             bs = max(ndev, (bs // ndev) * ndev)
-        out = np.empty((n, self.spec.dim), np.float32)
+        chunks = []
         for start in range(0, n, bs):
             chunk = images[start:start + bs]
             c = chunk.shape[0]
@@ -148,8 +145,26 @@ class Embedder:
                 pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
             emb = fn(self.variables, jnp.asarray(chunk))
-            out[start:start + c] = np.asarray(emb)[:c]
+            chunks.append(emb[:c] if c < bs else emb)
+        return chunks
+
+    def embed(self, images: np.ndarray) -> np.ndarray:
+        """Embed a uint8 (N, H, W, 3) batch (BGR if spec.bgr_input, matching
+        the reference's IMRead color order). Images already at input_size skip
+        the device resize. Returns float32 (N, dim) on the host."""
+        chunks = self._embed_chunks(images)
+        n = sum(c.shape[0] for c in chunks)
+        out = np.empty((n, self.spec.dim), np.float32)
+        start = 0
+        for c in chunks:
+            out[start:start + c.shape[0]] = np.asarray(c)
+            start += c.shape[0]
         return out
+
+    def embed_device(self, images: np.ndarray) -> jax.Array:
+        """Like :meth:`embed` but the result STAYS IN HBM — feed it straight
+        into the device-resident clustering path without a host round trip."""
+        return jnp.concatenate(self._embed_chunks(images))
 
     def embed_blob(self, blob: np.ndarray) -> np.ndarray:
         """Embed an already-preprocessed float32 (N, 3, S, S) blob — the

@@ -132,8 +132,15 @@ class Pipeline:
                     workers=cfg.preprocess.decode_workers,
                 )
 
+            # Above exact_limit, embeddings stay in HBM all the way through
+            # clustering (no per-image cache — host round trips dominate at
+            # that scale); small jobs use the content-addressed cache.
+            big_job = len(blobs) > cfg.cluster.exact_limit
+
             with timer.stage("embed"):
-                if cfg.embed.cache:
+                if big_job:
+                    image_emb = self.embedder.embed_device(batch)
+                elif cfg.embed.cache:
                     from imageclust_tpu.utils.checkpoint import EmbeddingCache
 
                     emb_cache = EmbeddingCache(
@@ -149,10 +156,19 @@ class Pipeline:
 
             with timer.stage("fuse"):
                 label_mat = one_hot_matrix(per_image_labels, label_set)
-                features = combine_embeddings(image_emb, label_mat)
+                if big_job:
+                    import jax.numpy as jnp
+
+                    features = image_emb
+                    if label_mat.shape[1]:
+                        features = jnp.concatenate(
+                            [image_emb, jnp.asarray(label_mat)], axis=1
+                        )
+                else:
+                    features = combine_embeddings(image_emb, label_mat)
 
             with timer.stage("cluster"):
-                if len(features) <= cfg.cluster.exact_limit:
+                if not big_job:
                     result = constrained_ward(
                         features, item_ids,
                         min_size=min_size, max_size=max_size,
