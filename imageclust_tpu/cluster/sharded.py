@@ -49,39 +49,82 @@ __all__ = ["constrained_ward_bucketed", "kmeans"]
 _TOP_PREF = 8  # per-item bucket preferences exported to the host
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "top_k"))
-def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0, top_k: int = _TOP_PREF):
-    """Lloyd's k-means on device.
+_KMEANS_BLOCK = 1 << 16  # rows per assignment block: caps the (block, k)
+# distance tile so million-image jobs never materialize an (n, k) matrix
 
-    Returns (centroids (k,d), assign (n,), own_d (n,), top_pref (n,top_k)) —
-    everything the host-side capacity repair needs, a few bytes per item
-    instead of the full (n,k) distance matrix.
+
+def _pad_rows(x: jax.Array, block: int):
+    n = x.shape[0]
+    n_pad = int(math.ceil(n / block)) * block
+    if n_pad == n:
+        return x, n
+    pad = jnp.zeros((n_pad - n, x.shape[1]), x.dtype)
+    return jnp.concatenate([x, pad]), n
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "top_k", "block"))
+def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
+           top_k: int = _TOP_PREF, block: int = _KMEANS_BLOCK):
+    """Lloyd's k-means on device, block-scanned over rows.
+
+    Distances are MXU matmuls computed one (block, k) tile at a time under
+    ``lax.scan`` — HBM stays O(n*d + k*d + block*k) so the 1M-image tier
+    fits. Returns (centroids (k,d), assign (n,), own_d (n,), top_pref
+    (n,top_k)) — everything the host-side capacity repair needs, a few bytes
+    per item instead of the full (n,k) matrix.
     """
-    n, d = x.shape
+    n_real = x.shape[0]
+    block = min(block, 1 << (max(n_real - 1, 1)).bit_length())
+    xp, _ = _pad_rows(x, block)
+    n_pad, d = xp.shape
+    n_blocks = n_pad // block
+    xb = xp.reshape(n_blocks, block, d)
     key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.permutation(key, n)[:k]
+    init_idx = jax.random.permutation(key, n_real)[:k]
     cents = x[init_idx]
+    # padding rows get +inf distance weight via a validity mask
+    row_valid = (jnp.arange(n_pad) < n_real).reshape(n_blocks, block)
 
-    def step(cents, _):
-        d2 = _sqdist(x, cents)  # (n, k)
-        assign = jnp.argmin(d2, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (n, k)
-        counts = jnp.sum(onehot, axis=0)
-        sums = jax.lax.dot_general(
-            onehot, x, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def lloyd(cents, _):
+        def blk(carry, inp):
+            sums, counts = carry
+            rows, valid = inp
+            d2 = _sqdist(rows, cents)  # (block, k)
+            assign = jnp.argmin(d2, axis=1)
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
+            onehot = onehot * valid[:, None]
+            counts = counts + jnp.sum(onehot, axis=0)
+            sums = sums + jax.lax.dot_general(
+                onehot, rows, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk, (jnp.zeros((k, d), jnp.float32), jnp.zeros(k, jnp.float32)),
+            (xb, row_valid),
         )
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        cents2 = jnp.where(counts[:, None] > 0, new, cents)
-        return cents2, None
+        return jnp.where(counts[:, None] > 0, new, cents), None
 
-    cents, _ = jax.lax.scan(step, cents, None, length=iters)
-    d2 = _sqdist(x, cents)
-    assign = jnp.argmin(d2, axis=1)
-    own_d = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
+    cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
+
     kk = min(top_k, k)
-    _, top_pref = jax.lax.top_k(-d2, kk)  # nearest-first bucket ids
-    return cents, assign, own_d, top_pref
+
+    def final_blk(_, rows):
+        d2 = _sqdist(rows, cents)
+        assign = jnp.argmin(d2, axis=1)
+        own = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
+        _, pref = jax.lax.top_k(-d2, kk)
+        return None, (assign, own, pref)
+
+    _, (assign, own_d, top_pref) = jax.lax.scan(final_blk, None, xb)
+    return (
+        cents,
+        assign.reshape(-1)[:n_real],
+        own_d.reshape(-1)[:n_real],
+        top_pref.reshape(-1, kk)[:n_real],
+    )
 
 
 def _sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
