@@ -160,16 +160,12 @@ def _bucket_merge_loop(
         step=jnp.int32(0),
         found=jnp.bool_(True),
     )
-    body = partial(_merge_body, max_size=max_size, update_rule=update_rule)
-
     def fori_body(_, st):
-        pred = st.found & (st.num_active > n_target)
-        new = body(st)
-        return jax.tree.map(
-            lambda a, b: jnp.where(pred, a, b) if a.ndim == 0
-            else jnp.where(jnp.reshape(pred, (1,) * a.ndim), a, b),
-            new,
-            st,
+        # the halt condition folds into the body's own no-op gate — no
+        # second full-state where() pass per iteration
+        return _merge_body(
+            st, max_size=max_size, update_rule=update_rule,
+            halt=st.num_active > n_target,
         )
 
     state = jax.lax.fori_loop(0, B - 1, fori_body, state)
@@ -257,6 +253,7 @@ def constrained_ward_bucketed(
     update_rule: str = "lance_williams",
     mesh: Mesh | None = None,
     seed: int = 0,
+    reassign_dropped: bool = False,
 ) -> ClusterResult:
     """Scalable constrained Ward over k-means buckets.
 
@@ -328,9 +325,8 @@ def constrained_ward_bucketed(
     births = np.asarray(births)
     active = np.asarray(active)
 
-    cluster_map: dict[int, list[str]] = {}
     index_map: dict[int, list[int]] = {}
-    dropped: list[str] = []
+    dropped_idx: list[int] = []
     all_logs: list[np.ndarray] = []
     cid = 0
     for bi, members in enumerate(buckets):
@@ -345,15 +341,21 @@ def constrained_ward_bucketed(
             local = _leaf_indices(birth, c, children)
             global_members = [members[k] for k in local]
             if len(global_members) < min_size:
-                dropped.extend(ids[k] for k in global_members)
+                dropped_idx.extend(global_members)
                 continue
-            cluster_map[cid] = [ids[k] for k in global_members]
             index_map[cid] = global_members
             cid += 1
 
+    if reassign_dropped and dropped_idx:
+        from imageclust_tpu.cluster.ward import reassign_dropped_members
+
+        index_map, dropped_idx = reassign_dropped_members(
+            np.asarray(feats), index_map, dropped_idx, max_size
+        )
+
     result = ClusterResult(
-        cluster_map=cluster_map,
-        dropped=dropped,
+        cluster_map={c: [ids[k] for k in mem] for c, mem in index_map.items()},
+        dropped=[ids[k] for k in dropped_idx],
         merges=np.concatenate(all_logs) if all_logs else np.zeros((0, 3), np.int32),
         n_items=n,
         n_clusters_target=sum(int(t) for t in targets),

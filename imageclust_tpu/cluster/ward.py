@@ -142,7 +142,12 @@ def _merge_body(
     max_size: jax.Array,
     update_rule: str,
     use_pallas: bool = False,
+    halt: jax.Array | None = None,
 ) -> _LoopState:
+    """One gated merge step. ``halt`` (optional traced bool) folds an outer
+    stop condition (e.g. num_active <= target in the fixed-trip bucketed
+    loop) into the body's own no-op gate — cheaper than re-gating the whole
+    state in a wrapper."""
     f32 = jnp.float32
     b = state.births
 
@@ -165,6 +170,7 @@ def _merge_body(
             state.D, b, state.sizes, state.active, max_size
         )
     found = jnp.isfinite(dmin)
+    proceed = found if halt is None else (found & halt)
 
     sa = jnp.argmax(b == m1)  # slot of Go's clusters[i] (later in list)
     sb = jnp.argmax(b == m2)  # slot of Go's clusters[j]
@@ -205,9 +211,9 @@ def _merge_body(
     active = state.active.at[sb].set(False)
     log = state.log.at[state.step].set(jnp.stack([m1, m2, new_birth]))
 
-    # Gate every update on `found`: if no feasible pair remained, this body
-    # must be a no-op and the loop exits via the `found` flag.
-    gate = lambda new, old: jnp.where(found, new, old)
+    # Gate every update on `proceed`: if no feasible pair remained (or the
+    # outer halt fired), this body is a no-op; the loop exits via `found`.
+    gate = lambda new, old: jnp.where(proceed, new, old)
     return _LoopState(
         D=gate(D, state.D),
         sizes=gate(sizes, state.sizes),
@@ -320,6 +326,38 @@ def _run_merges(
     return clusters, log
 
 
+def reassign_dropped_members(
+    x: np.ndarray,
+    index_map: dict[int, list[int]],
+    dropped_idx: list[int],
+    max_size: int,
+) -> tuple[dict[int, list[int]], list[int]]:
+    """Optional post-pass: attach each dropped item to the nearest surviving
+    cluster (by centroid) that still has room. The reference silently
+    discards under-min clusters (clustering.go:268-271) — losing user images;
+    this recovers them without violating max_size. Returns the updated
+    index map and the items that still could not be placed."""
+    if not dropped_idx or not index_map:
+        return index_map, list(dropped_idx)
+    cids = sorted(index_map)
+    centroids = np.stack([x[index_map[c]].mean(axis=0) for c in cids])
+    still_dropped: list[int] = []
+    for item in dropped_idx:
+        d2 = ((centroids - x[item]) ** 2).sum(axis=1)
+        placed = False
+        for ci in np.argsort(d2):
+            cid = cids[ci]
+            if len(index_map[cid]) < max_size:
+                index_map[cid].append(item)
+                # keep the centroid current so subsequent placements see it
+                centroids[ci] = x[index_map[cid]].mean(axis=0)
+                placed = True
+                break
+        if not placed:
+            still_dropped.append(item)
+    return index_map, still_dropped
+
+
 def constrained_ward(
     embeddings: np.ndarray | jax.Array,
     ids: Sequence[str] | None = None,
@@ -327,12 +365,14 @@ def constrained_ward(
     min_size: int = 3,
     max_size: int = 6,
     update_rule: str = "centroid",
+    reassign_dropped: bool = False,
 ) -> ClusterResult:
     """Cluster ``embeddings`` under [min_size, max_size] Ward semantics.
 
     Drop-in behavioral equivalent of ``PerformClusteringWithConstraints``
     (clustering.go:198-284). Raises :class:`ConstraintError` where the
-    reference returns (nil, false).
+    reference returns (nil, false). ``reassign_dropped=True`` replaces the
+    reference's silent image loss with nearest-cluster reassignment.
     """
     x = np.asarray(embeddings, dtype=np.float32)
     if x.ndim != 2:
@@ -359,21 +399,25 @@ def constrained_ward(
         else:
             final.append(members)
 
-    cluster_map: dict[int, list[str]] = {}
     index_map: dict[int, list[int]] = {}
-    dropped: list[str] = []
+    dropped_idx: list[int] = []
     cid = 0
     for members in final:
         if len(members) < min_size:  # clustering.go:268-271
-            dropped.extend(ids[k] for k in members)
+            dropped_idx.extend(members)
             continue
-        cluster_map[cid] = [ids[k] for k in members]
         index_map[cid] = members
         cid += 1
 
+    if reassign_dropped:
+        index_map, dropped_idx = reassign_dropped_members(
+            x, index_map, dropped_idx, max_size
+        )
+
+    cluster_map = {c: [ids[k] for k in mem] for c, mem in index_map.items()}
     result = ClusterResult(
         cluster_map=cluster_map,
-        dropped=dropped,
+        dropped=[ids[k] for k in dropped_idx],
         merges=log,
         n_items=n,
         n_clusters_target=n_target,

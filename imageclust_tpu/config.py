@@ -58,6 +58,10 @@ class ClusterConfig:
     bucket_size: int = 512
     # Lloyd iterations for the k-means bucketing stage.
     kmeans_iters: int = 8
+    # Reference parity keeps False: under-min clusters are silently dropped
+    # (clustering.go:268-271). True reassigns those images to the nearest
+    # surviving cluster with room instead of losing them.
+    reassign_dropped: bool = False
 
 
 @dataclass

@@ -173,6 +173,7 @@ class Pipeline:
                         features, item_ids,
                         min_size=min_size, max_size=max_size,
                         update_rule=cfg.cluster.update_rule,
+                        reassign_dropped=cfg.cluster.reassign_dropped,
                     )
                 else:
                     result = constrained_ward_bucketed(
@@ -181,6 +182,7 @@ class Pipeline:
                         bucket_size=cfg.cluster.bucket_size,
                         kmeans_iters=cfg.cluster.kmeans_iters,
                         mesh=self.mesh,
+                        reassign_dropped=cfg.cluster.reassign_dropped,
                     )
                 metrics.counters["clusters"] = len(result.cluster_map)
                 metrics.counters["dropped"] = len(result.dropped)

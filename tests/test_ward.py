@@ -177,3 +177,24 @@ class TestMergeLog:
             assert int(new) not in created
             assert hi > lo
             created.add(int(new))
+
+
+class TestReassignDropped:
+    def test_no_loss_with_reassignment(self, rng):
+        x = rng.random((25, 5)).astype(np.float32)
+        ids = [f"i{k}" for k in range(25)]
+        base = constrained_ward(x, ids, min_size=3, max_size=6)
+        res = constrained_ward(x, ids, min_size=3, max_size=6,
+                               reassign_dropped=True)
+        # everything the parity mode dropped is now placed (capacity allowing)
+        placed = [m for v in res.cluster_map.values() for m in v]
+        assert sorted(placed + res.dropped) == sorted(ids)
+        assert len(res.dropped) <= len(base.dropped)
+        for members in res.cluster_map.values():
+            assert len(members) <= 6
+
+    def test_parity_mode_unchanged_by_default(self, rng):
+        x = rng.random((25, 5)).astype(np.float32)
+        a = constrained_ward(x, min_size=3, max_size=6)
+        b = constrained_ward(x, min_size=3, max_size=6)
+        assert a.cluster_map == b.cluster_map and a.dropped == b.dropped
