@@ -22,4 +22,22 @@ kernels for hot ops.
 
 from imageclust_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "AppConfig", "Pipeline", "UploadedImage",
+           "load_config"]
+
+
+def __getattr__(name):
+    # lazy top-level API (importing the package stays light; jax loads on use)
+    if name == "AppConfig" or name == "load_config":
+        from imageclust_tpu import config
+
+        return getattr(config, name)
+    if name == "Pipeline":
+        from imageclust_tpu.pipeline import Pipeline
+
+        return Pipeline
+    if name == "UploadedImage":
+        from imageclust_tpu.types import UploadedImage
+
+        return UploadedImage
+    raise AttributeError(name)

@@ -34,6 +34,24 @@ class ZeroShotLabeler:
         self.embedder = embedder
 
     @classmethod
+    def from_texts(cls, names: list[str], embedder,
+                   text_encoder=None) -> "ZeroShotLabeler":
+        """Build the bank from label STRINGS via the CLIP-style text tower
+        (models/text.py) — joint visual+text features with zero example
+        images. Meaningful similarity requires image/text towers trained into
+        the same space (load matched checkpoints); offline random init still
+        produces a valid, deterministic bank for wiring."""
+        if text_encoder is None:
+            from imageclust_tpu.models.text import TextConfig, TextEncoder
+
+            text_encoder = TextEncoder(
+                TextConfig(width=256, depth=4, heads=4,
+                           proj_dim=embedder.spec.dim, vocab=16384)
+            )
+        bank = text_encoder.encode([f"a photo of {n}" for n in names])
+        return cls(names, bank, embedder)
+
+    @classmethod
     def default(cls, embedder, bank_path: str | None = None) -> "ZeroShotLabeler":
         """Load a label bank from IMAGECLUST_LABEL_BANK (npz with 'names',
         'vectors') or fall back to a random-projection demo bank."""

