@@ -259,3 +259,35 @@ class TestMiscRoutes:
             assert set(res1["clusters"]) == set(d1["clusters"])
 
         _run(_with_client(app_factory(), scenario))
+
+
+class TestConcurrency:
+    def test_parallel_posts_isolated(self, app_factory, rng):
+        """Two concurrent POSTs must both succeed with correct, separate
+        results — the scenario that corrupts the reference's global temp dir
+        (handlers.go:26-46)."""
+        import asyncio as aio
+
+        n1, b1 = color_group_images(rng, n_groups=1, per_group=3, size=32)
+        rng2 = np.random.default_rng(7)
+        n2, b2 = color_group_images(rng2, n_groups=2, per_group=3, size=48)
+        n2 = [f"b_{x}" for x in n2]
+
+        async def scenario(client):
+            r1, r2 = await aio.gather(
+                client.post("/api/cluster", data=_upload_form(n1, b1, 3, 6)),
+                client.post("/api/cluster", data=_upload_form(n2, b2, 3, 6)),
+            )
+            d1, d2 = await r1.json(), await r2.json()
+            assert r1.status == 200 and r2.status == 200
+            assert d1["jobId"] != d2["jobId"]
+            imgs1 = {m for v in d1["clusters"].values() for m in v["images"]}
+            imgs2 = {m for v in d2["clusters"].values() for m in v["images"]}
+            assert imgs1 == set(n1)
+            assert imgs2 == set(n2)
+            # both jobs' artifacts remain independently addressable
+            v1 = await client.get(f"/api/view?job={d1['jobId']}")
+            v2 = await client.get(f"/api/view?job={d2['jobId']}")
+            assert v1.status == 200 and v2.status == 200
+
+        _run(_with_client(app_factory(), scenario))
