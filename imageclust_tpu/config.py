@@ -117,8 +117,12 @@ class LabelConfig:
     region: str = "us-east-1"  # workflow.go:44
     max_labels: int = 10  # workflow.go:129
     min_confidence: float = 75.0  # workflow.go:129
-    # BuildLabelSet used 80.0 (embeddings.go:208); kept for compatibility.
-    label_set_min_confidence: float = 80.0
+    # The reference INTENDS to build the label set at confidence 80
+    # (embeddings.go:208) but its filename-keyed cache silently reuses the
+    # 75-confidence result (rekognition.go:90-97, SURVEY.md §2). Default 0
+    # reproduces the observed behavior (same labels for both uses); set 80.0
+    # to get the reference's intended stricter label set.
+    label_set_min_confidence: float = 0.0
     # 5 MB Rekognition payload cap with iterative downscale
     # (rekognition.go:21, :174-260).
     max_payload_bytes: int = 5 * 1024 * 1024

@@ -122,7 +122,18 @@ class Pipeline:
                     )
                     for blob in blobs
                 ]
-                label_set = build_label_set(per_image_labels)
+                # label-set threshold: 0 = observed reference behavior (the
+                # cache reuses the first query's labels); >0 filters like the
+                # reference's intended BuildLabelSet call (embeddings.go:208)
+                floor = cfg.labels.label_set_min_confidence
+                if floor > 0:
+                    set_source = [
+                        [l for l in labels if l.confidence >= floor]
+                        for labels in per_image_labels
+                    ]
+                else:
+                    set_source = per_image_labels
+                label_set = build_label_set(set_source)
                 metrics.counters["unique_labels"] = len(label_set)
 
             with timer.stage("decode"):
