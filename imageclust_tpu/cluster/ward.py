@@ -228,13 +228,13 @@ def _merge_body(
     )
 
 
-@partial(jax.jit, static_argnames=("update_rule",))
-def _merge_loop(
+def _merge_loop_impl(
     x: jax.Array,  # (n_pad, d) f32, rows >= n_items are padding
     n_items: jax.Array,  # i32
     n_target: jax.Array,  # i32
     max_size: jax.Array,  # i32
     update_rule: str = "centroid",
+    row_sharding=None,  # NamedSharding for D's rows (multi-chip exact mode)
 ):
     """Run the full constrained merge loop on device; returns the merge log."""
     n_pad, _ = x.shape
@@ -243,6 +243,11 @@ def _merge_loop(
     active0 = idx < n_items
 
     D0 = pairwise_ward_singleton(x.astype(f32))
+    if row_sharding is not None:
+        # multi-chip exact mode: the n x n matrix lives row-sharded across
+        # the mesh's 'data' axis; the masked argmin's global reduction
+        # becomes an XLA allreduce-min over per-shard partials (SURVEY.md §5)
+        D0 = jax.lax.with_sharding_constraint(D0, row_sharding)
     state = _LoopState(
         D=D0,
         sizes=jnp.where(active0, 1, 0).astype(jnp.int32),
@@ -279,6 +284,35 @@ def _merge_loop(
     return state.log, state.step, state.births, state.sizes, state.active
 
 
+_merge_loop = partial(jax.jit, static_argnames=("update_rule",))(
+    partial(_merge_loop_impl, row_sharding=None)
+)
+
+_SHARDED_LOOPS: dict = {}
+
+
+def _sharded_merge_loop(mesh, update_rule: str):
+    """Per-mesh jitted exact merge loop with D row-sharded over 'data'."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (id(mesh), update_rule)
+    if key not in _SHARDED_LOOPS:
+        rows = NamedSharding(mesh, P("data", None))
+
+        def fn(x, n_items, n_target, max_size):
+            return _merge_loop_impl(
+                x, n_items, n_target, max_size,
+                update_rule=update_rule, row_sharding=rows,
+            )
+
+        _SHARDED_LOOPS[key] = jax.jit(
+            fn,
+            in_shardings=(rows, None, None, None),
+            out_shardings=None,
+        )
+    return _SHARDED_LOOPS[key]
+
+
 def _pad_len(n: int) -> int:
     """Round up to a lane-aligned padded size to bound recompilations."""
     return max(128, int(128 * math.ceil(n / 128)))
@@ -301,7 +335,8 @@ def _leaf_indices(birth: int, n_items: int, children: dict[int, tuple[int, int]]
 
 
 def _run_merges(
-    x: np.ndarray, n_target: int, max_size: int, update_rule: str
+    x: np.ndarray, n_target: int, max_size: int, update_rule: str,
+    mesh=None,
 ) -> tuple[list[list[int]], np.ndarray]:
     """Run the device loop; return surviving clusters' index lists in Go list
     order (birth order) plus the merge log."""
@@ -309,13 +344,20 @@ def _run_merges(
     n_pad = _pad_len(n)
     xp = np.zeros((n_pad, x.shape[1]), np.float32)
     xp[:n] = x
-    log, steps, births, sizes, active = _merge_loop(
-        jnp.asarray(xp),
-        jnp.int32(n),
-        jnp.int32(n_target),
-        jnp.int32(max_size),
-        update_rule=update_rule,
-    )
+    if mesh is not None:
+        loop = _sharded_merge_loop(mesh, update_rule)
+        log, steps, births, sizes, active = loop(
+            jnp.asarray(xp), jnp.int32(n), jnp.int32(n_target),
+            jnp.int32(max_size),
+        )
+    else:
+        log, steps, births, sizes, active = _merge_loop(
+            jnp.asarray(xp),
+            jnp.int32(n),
+            jnp.int32(n_target),
+            jnp.int32(max_size),
+            update_rule=update_rule,
+        )
     log = np.asarray(log)[: int(steps)]
     births = np.asarray(births)
     active = np.asarray(active)
@@ -366,13 +408,16 @@ def constrained_ward(
     max_size: int = 6,
     update_rule: str = "centroid",
     reassign_dropped: bool = False,
+    mesh=None,
 ) -> ClusterResult:
     """Cluster ``embeddings`` under [min_size, max_size] Ward semantics.
 
     Drop-in behavioral equivalent of ``PerformClusteringWithConstraints``
     (clustering.go:198-284). Raises :class:`ConstraintError` where the
     reference returns (nil, false). ``reassign_dropped=True`` replaces the
-    reference's silent image loss with nearest-cluster reassignment.
+    reference's silent image loss with nearest-cluster reassignment. With
+    ``mesh``, the distance matrix row-shards over the mesh's 'data' axis and
+    the per-merge argmin reduces via XLA collectives.
     """
     x = np.asarray(embeddings, dtype=np.float32)
     if x.ndim != 2:
@@ -384,7 +429,7 @@ def constrained_ward(
         raise ValueError("ids length must match embeddings")
 
     n_target = calculate_optimal_clusters(n, min_size, max_size)
-    clusters, log = _run_merges(x, n_target, max_size, update_rule)
+    clusters, log = _run_merges(x, n_target, max_size, update_rule, mesh=mesh)
 
     # Oversized-split pass (clustering.go:248-262). Unreachable through the
     # public path (the merge loop never exceeds max_size) but preserved:

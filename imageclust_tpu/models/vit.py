@@ -103,6 +103,9 @@ class VisionTransformer(nn.Module):
 
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    # rematerialize encoder blocks: trades recompute for activation memory —
+    # lets ViT-L/14@336 train/embed at large batch on one chip
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
@@ -131,8 +134,9 @@ class VisionTransformer(nn.Module):
         if c.use_class_token:
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              param_dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
+        block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(c.depth):
-            x = EncoderBlock(c, dtype=self.dtype, name=f"block{i}")(x)
+            x = block_cls(c, dtype=self.dtype, name=f"block{i}")(x)
 
         if c.use_class_token:
             feat = x[:, 0]

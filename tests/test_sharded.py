@@ -98,3 +98,15 @@ class TestMesh:
 
         m = create_mesh()
         assert m.shape["data"] * m.shape["model"] == 8
+
+
+class TestShardedExactMode:
+    def test_mesh_exact_matches_single_device(self, rng, blobs, mesh8):
+        from imageclust_tpu.cluster.ward import constrained_ward
+
+        x = blobs(rng, n_blobs=8, per_blob=5, d=8)
+        ids = [f"i{k}" for k in range(len(x))]
+        single = constrained_ward(x, ids, min_size=3, max_size=6)
+        sharded = constrained_ward(x, ids, min_size=3, max_size=6, mesh=mesh8)
+        assert sharded.cluster_map == single.cluster_map
+        assert sharded.dropped == single.dropped
