@@ -156,6 +156,9 @@ class ServiceConfig:
     # Per-job workdirs replace the reference's single global temp dir
     # (handlers.go:26-46), fixing its one-request-clobbers-another bug.
     work_dir: str = ""
+    # Retention for finished jobs (pruned after each new job).
+    max_jobs: int = 50
+    max_job_age_s: float = 7 * 24 * 3600.0
 
 
 @dataclass

@@ -132,6 +132,7 @@ def create_app(
         jobs.set_status(job, "done")
         with open(os.path.join(job.work_dir, "result.json"), "w") as fh:
             json.dump(result.to_dict(), fh)
+        jobs.prune(config.service.max_jobs, config.service.max_job_age_s)
         return web.json_response(
             {
                 "status": "success",  # handlers.go:123-127 contract

@@ -132,3 +132,27 @@ class JobStore:
         with self._lock:
             return [j.meta_dict() for j in
                     sorted(self._jobs.values(), key=lambda j: -j.created_at)]
+
+    def prune(self, max_jobs: int = 50, max_age_s: float = 7 * 24 * 3600) -> int:
+        """Delete finished jobs beyond ``max_jobs`` (newest kept) or older
+        than ``max_age_s``. The latest finished job is always kept (it backs
+        the parameterless GET /api/view). Returns the number removed."""
+        import shutil
+
+        now = time.time()
+        with self._lock:
+            finished = sorted(
+                (j for j in self._jobs.values()
+                 if j.status in ("done", "failed")
+                 and j.job_id != self._latest_done),
+                key=lambda j: -j.created_at,
+            )
+            victims = [
+                j for i, j in enumerate(finished)
+                if i >= max_jobs or now - j.created_at > max_age_s
+            ]
+            for j in victims:
+                self._jobs.pop(j.job_id, None)
+        for j in victims:
+            shutil.rmtree(j.work_dir, ignore_errors=True)
+        return len(victims)

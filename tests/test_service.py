@@ -291,3 +291,31 @@ class TestConcurrency:
             assert v1.status == 200 and v2.status == 200
 
         _run(_with_client(app_factory(), scenario))
+
+
+class TestJobPruning:
+    def test_prune_keeps_latest_and_recent(self, tmp_path):
+        import time as _time
+
+        store = JobStore(str(tmp_path / "p"))
+        jobs = [store.create() for _ in range(5)]
+        for j in jobs:
+            store.set_status(j, "done")
+        # age out the first two
+        for j in jobs[:2]:
+            j.created_at = _time.time() - 10 * 24 * 3600
+        removed = store.prune(max_jobs=50, max_age_s=7 * 24 * 3600)
+        assert removed == 2
+        alive = {j["jobId"] for j in store.list_jobs()}
+        assert jobs[4].job_id in alive  # latest kept
+        assert jobs[0].job_id not in alive
+
+    def test_prune_caps_count(self, tmp_path):
+        store = JobStore(str(tmp_path / "q"))
+        jobs = [store.create() for _ in range(6)]
+        for j in jobs:
+            store.set_status(j, "done")
+        removed = store.prune(max_jobs=2, max_age_s=1e12)
+        # latest excluded from the cap pool: 5 candidates, keep 2 -> remove 3
+        assert removed == 3
+        assert len(store.list_jobs()) == 3
