@@ -129,10 +129,19 @@ def create_app(
             log.exception("job %s failed", job.job_id)
             jobs.set_status(job, "failed", str(exc))
             return _error(500, str(exc))
+        finally:
+            # retention applies on failures too, and off the event loop
+            # (bulk rmtree would stall concurrent requests)
+            asyncio.create_task(
+                asyncio.to_thread(
+                    jobs.prune,
+                    config.service.max_jobs,
+                    config.service.max_job_age_s,
+                )
+            )
         jobs.set_status(job, "done")
         with open(os.path.join(job.work_dir, "result.json"), "w") as fh:
             json.dump(result.to_dict(), fh)
-        jobs.prune(config.service.max_jobs, config.service.max_job_age_s)
         return web.json_response(
             {
                 "status": "success",  # handlers.go:123-127 contract

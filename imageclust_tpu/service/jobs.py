@@ -133,10 +133,15 @@ class JobStore:
             return [j.meta_dict() for j in
                     sorted(self._jobs.values(), key=lambda j: -j.created_at)]
 
-    def prune(self, max_jobs: int = 50, max_age_s: float = 7 * 24 * 3600) -> int:
+    _PRUNE_GRACE_S = 600.0  # never delete jobs finished in the last 10 min
+    # (keeps /api/view and /api/image responses for a just-finished job safe
+    # from the delete racing an in-flight reader)
+
+    def prune(self, max_jobs: int, max_age_s: float) -> int:
         """Delete finished jobs beyond ``max_jobs`` (newest kept) or older
         than ``max_age_s``. The latest finished job is always kept (it backs
-        the parameterless GET /api/view). Returns the number removed."""
+        the parameterless GET /api/view); recently finished jobs are grace-
+        period protected. Returns the number removed."""
         import shutil
 
         now = time.time()
@@ -144,7 +149,8 @@ class JobStore:
             finished = sorted(
                 (j for j in self._jobs.values()
                  if j.status in ("done", "failed")
-                 and j.job_id != self._latest_done),
+                 and j.job_id != self._latest_done
+                 and now - (j.finished_at or j.created_at) > self._PRUNE_GRACE_S),
                 key=lambda j: -j.created_at,
             )
             victims = [

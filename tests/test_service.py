@@ -301,6 +301,7 @@ class TestJobPruning:
         jobs = [store.create() for _ in range(5)]
         for j in jobs:
             store.set_status(j, "done")
+            j.finished_at = _time.time() - 3600  # clear the grace window
         # age out the first two
         for j in jobs[:2]:
             j.created_at = _time.time() - 10 * 24 * 3600
@@ -311,11 +312,21 @@ class TestJobPruning:
         assert jobs[0].job_id not in alive
 
     def test_prune_caps_count(self, tmp_path):
+        import time as _time
+
         store = JobStore(str(tmp_path / "q"))
         jobs = [store.create() for _ in range(6)]
         for j in jobs:
             store.set_status(j, "done")
+            j.finished_at = _time.time() - 3600
         removed = store.prune(max_jobs=2, max_age_s=1e12)
         # latest excluded from the cap pool: 5 candidates, keep 2 -> remove 3
         assert removed == 3
         assert len(store.list_jobs()) == 3
+
+    def test_grace_period_protects_fresh_jobs(self, tmp_path):
+        store = JobStore(str(tmp_path / "r"))
+        jobs = [store.create() for _ in range(4)]
+        for j in jobs:
+            store.set_status(j, "done")  # finished_at = now
+        assert store.prune(max_jobs=0, max_age_s=0.0) == 0
