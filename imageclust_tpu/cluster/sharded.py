@@ -160,15 +160,15 @@ def _bucket_merge_loop(
         step=jnp.int32(0),
         found=jnp.bool_(True),
     )
-    def fori_body(_, st):
-        # the halt condition folds into the body's own no-op gate — no
-        # second full-state where() pass per iteration
-        return _merge_body(
-            st, max_size=max_size, update_rule=update_rule,
-            halt=st.num_active > n_target,
-        )
-
-    state = jax.lax.fori_loop(0, B - 1, fori_body, state)
+    # while_loop under vmap: JAX's batching rule iterates until EVERY
+    # bucket's cond is false, masking finished buckets — the loop runs
+    # max-merges-across-buckets times instead of a fixed B-1 trips.
+    state = jax.lax.while_loop(
+        lambda st: st.found & (st.num_active > n_target),
+        lambda st: _merge_body(st, max_size=max_size,
+                               update_rule=update_rule),
+        state,
+    )
     return state.log, state.step, state.births, state.sizes, state.active
 
 
