@@ -86,6 +86,8 @@ class Embedder:
         spec = self.spec
 
         def fn(variables, images_u8):
+            # NHWC end to end: the towers are NHWC-native internally, so
+            # emitting CHW here would just add two full-batch layout passes
             if resize:
                 x = preprocess_batch(
                     images_u8,
@@ -94,7 +96,7 @@ class Embedder:
                     mean=spec.mean,
                     std=spec.std,
                     bgr_to_rgb=spec.bgr_input,
-                    channels_first=True,
+                    channels_first=False,
                 )
             else:
                 x = images_u8.astype(jnp.float32)
@@ -103,7 +105,6 @@ class Embedder:
                 mean = jnp.asarray(spec.mean, jnp.float32)
                 std = jnp.asarray(spec.std, jnp.float32)
                 x = (x * jnp.float32(spec.scale) - mean) / std
-                x = jnp.transpose(x, (0, 3, 1, 2))
             return self._apply_fn(variables, x)
 
         if self.mesh is not None:
