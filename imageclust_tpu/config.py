@@ -127,6 +127,11 @@ class LabelConfig:
     # (rekognition.go:21, :174-260).
     max_payload_bytes: int = 5 * 1024 * 1024
     cache: bool = True
+    # Scale applied to the one-hot label block before fusion. The reference
+    # concatenates raw 0/1 labels against 1000-d logits whose magnitudes
+    # dominate the Ward distances (embeddings.go:177-183); weight > 1 makes
+    # semantic labels actually influence clustering. 1.0 = reference parity.
+    fusion_weight: float = 1.0
 
 
 @dataclass

@@ -167,6 +167,8 @@ class Pipeline:
 
             with timer.stage("fuse"):
                 label_mat = one_hot_matrix(per_image_labels, label_set)
+                if cfg.labels.fusion_weight != 1.0:
+                    label_mat = label_mat * np.float32(cfg.labels.fusion_weight)
                 if big_job:
                     import jax.numpy as jnp
 

@@ -87,6 +87,24 @@ def create_app(
         client_max_size=config.service.max_upload_bytes,  # handlers.go:71
     )
 
+    async def _run_job_background(job, uploads, min_size, max_size) -> None:
+        try:
+            async with run_lock:
+                result = await asyncio.to_thread(
+                    pipeline.run, uploads, job.work_dir, min_size, max_size
+                )
+            with open(os.path.join(job.work_dir, "result.json"), "w") as fh:
+                json.dump(result.to_dict(), fh)
+            jobs.set_status(job, "done")
+        except Exception as exc:
+            log.exception("async job %s failed", job.job_id)
+            jobs.set_status(job, "failed", str(exc))
+        finally:
+            await asyncio.to_thread(
+                jobs.prune, config.service.max_jobs,
+                config.service.max_job_age_s,
+            )
+
     async def cluster_handler(request: web.Request) -> web.Response:
         try:
             reader = await request.multipart()
@@ -120,6 +138,19 @@ def create_app(
 
         job = jobs.create()
         jobs.set_status(job, "running")
+
+        # ?async=1 — enqueue and return immediately; poll GET /api/result.
+        # (The reference blocks the request for the whole pipeline.)
+        if request.query.get("async") in ("1", "true"):
+            asyncio.create_task(
+                _run_job_background(job, uploads, min_size, max_size)
+            )
+            return web.json_response(
+                {"status": "accepted", "jobId": job.job_id,
+                 "resultUrl": f"/api/result?job={job.job_id}"},
+                status=202,
+            )
+
         try:
             async with run_lock:
                 result = await asyncio.to_thread(

@@ -330,3 +330,30 @@ class TestJobPruning:
         for j in jobs:
             store.set_status(j, "done")  # finished_at = now
         assert store.prune(max_jobs=0, max_age_s=0.0) == 0
+
+
+class TestAsyncMode:
+    def test_async_submit_and_poll(self, app_factory, rng):
+        import asyncio as aio
+
+        names, blobs = color_group_images(rng, n_groups=1, per_group=3)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster?async=1", data=_upload_form(names, blobs, 3, 6)
+            )
+            assert resp.status == 202
+            d = await resp.json()
+            assert d["status"] == "accepted"
+            job = d["jobId"]
+            for _ in range(100):
+                r = await client.get(f"/api/result?job={job}")
+                body = await r.json()
+                if "clusters" in body:
+                    assert len(body["clusters"]) == 1
+                    return
+                assert body["status"] in ("queued", "running", "done")
+                await aio.sleep(0.1)
+            raise AssertionError("async job never finished")
+
+        _run(_with_client(app_factory(), scenario))
