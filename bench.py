@@ -128,14 +128,47 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int) -> dict:
     }
 
 
+def bench_decode(n_images: int, workers: int) -> dict:
+    """Host ingest stage: decode+resize JPEG bytes -> uint8 device batch."""
+    import cv2
+
+    from imageclust_tpu.data.loader import decode_images
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    ok, enc = cv2.imencode(".jpg", img)
+    assert ok
+    blobs = [enc.tobytes()] * n_images
+    decode_images(blobs[:16], size=224, workers=workers)  # warm pools
+    t0 = time.perf_counter()
+    batch = decode_images(blobs, size=224, workers=workers)
+    dt = time.perf_counter() - t0
+    assert batch.shape == (n_images, 224, 224, 3)
+    _log(f"decode: {n_images} jpegs in {dt:.2f}s ({n_images / dt:.0f} img/s, "
+         f"{workers} workers)")
+    return {
+        "metric": f"host_decode_{n_images}_jpegs",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(n_images / dt, 1),
+        "detail": {"images_per_sec": round(n_images / dt, 1)},
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--bucket", type=int, default=256)
+    parser.add_argument("--decode", action="store_true",
+                        help="benchmark the host decode stage instead")
+    parser.add_argument("--workers", type=int, default=8)
     args = parser.parse_args()
 
-    result = bench_e2e(args.n, args.batch, args.bucket)
+    if args.decode:
+        result = bench_decode(min(args.n, 10_000), args.workers)
+    else:
+        result = bench_e2e(args.n, args.batch, args.bucket)
     detail = result.pop("detail")
     _log(f"detail: {json.dumps(detail)}")
     print(json.dumps(result), flush=True)

@@ -81,8 +81,12 @@ def decode_images(
     ``size=None`` images must already share a shape."""
     if not blobs:
         return np.zeros((0, size or 1, size or 1, 3), np.uint8)
-    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-        imgs = list(pool.map(lambda b: _decode_one(b, size), blobs))
+    workers = max(1, min(workers, os.cpu_count() or 1, len(blobs)))
+    if workers == 1:  # skip pool overhead on single-core hosts
+        imgs = [_decode_one(b, size) for b in blobs]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            imgs = list(pool.map(lambda b: _decode_one(b, size), blobs))
     shapes = {im.shape for im in imgs}
     if len(shapes) > 1:
         raise DecodeError(f"inconsistent decoded shapes: {shapes}")
