@@ -220,15 +220,30 @@ def _repair_buckets(
             if not place(i, b, lambda lst: len(lst) < capacity):
                 buckets[b].append(i)  # pragma: no cover — everything full
 
-    # Dissolve under-min buckets into the members' preferred buckets.
-    for b in range(n_buckets):
-        if 0 < len(buckets[b]) < min_size:
-            members, buckets[b] = buckets[b], []
-            for i in members:
-                if not place(i, b,
-                             lambda lst: min_size <= len(lst) < capacity):
-                    if not place(i, b, lambda lst: len(lst) < capacity):
-                        buckets[b].append(i)  # pragma: no cover
+    # Dissolve under-min buckets into the members' preferred buckets. The
+    # fallback only targets buckets that are already viable (>= min_size) —
+    # refilling an emptied bucket would just recreate an under-min bucket
+    # whose images get dropped later. Iterate to a fixpoint: a dissolve can
+    # push another bucket to capacity but never creates new under-min ones.
+    for _ in range(n_buckets):
+        changed = False
+        for b in range(n_buckets):
+            if 0 < len(buckets[b]) < min_size:
+                members, buckets[b] = buckets[b], []
+                for i in members:
+                    # prefer viable buckets; else any NONEMPTY bucket with
+                    # space (consolidating two under-min buckets can lift
+                    # one above min_size — the fixpoint loop re-checks);
+                    # never refill an emptied bucket
+                    if not place(i, b,
+                                 lambda lst: min_size <= len(lst) < capacity):
+                        if not place(i, b,
+                                     lambda lst: 0 < len(lst) < capacity):
+                            buckets[b].append(i)  # nowhere viable: keep
+                if not buckets[b]:
+                    changed = True
+        if not changed:
+            break
     return [b for b in buckets if b]
 
 
@@ -273,15 +288,15 @@ def constrained_ward_bucketed(
 
     fill = max(min_size, int(bucket_size * 0.75))
     n_buckets = max(1, math.ceil(n / fill))
-    if mesh is not None:
-        n_dev = mesh.shape["data"]
-        n_buckets = max(1, math.ceil(n_buckets / n_dev) * n_dev)
+    # (mesh alignment happens AFTER repair by padding empty buckets — never
+    # inflate k past what the data supports)
     if n_buckets == 1:
         from imageclust_tpu.cluster.ward import constrained_ward
 
         return constrained_ward(
             np.asarray(feats), ids, min_size=min_size, max_size=max_size,
-            update_rule=update_rule,
+            update_rule=update_rule, reassign_dropped=reassign_dropped,
+            mesh=mesh,
         )
 
     _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)

@@ -48,8 +48,12 @@ class ClusterConfig:
     # "centroid" recomputes merged-cluster distances from centroids exactly as
     # the reference does (clustering.go:76-96 calls WardDistance on the new
     # centroid); "lance_williams" uses the O(n) Lance-Williams recurrence —
-    # identical in exact arithmetic, cheaper at scale.
+    # identical in exact arithmetic, cheaper at scale. Applies to the exact
+    # engine (parity path).
     update_rule: str = "centroid"
+    # Update rule for the bucketed engine (already an approximation of the
+    # global merge order, so the O(n)-per-merge recurrence is the default).
+    scale_update_rule: str = "lance_williams"
     # Number of images above which the pipeline switches from the exact
     # single-matrix engine to the bucketed/sharded engine.
     exact_limit: int = 4096
@@ -66,21 +70,16 @@ class ClusterConfig:
 
 @dataclass
 class PreprocessConfig:
-    """Device-side preprocessing — parity with embeddings.go:46-116.
+    """Host-side ingest knobs.
 
-    The reference resizes to 224x224 with OpenCV INTER_LINEAR, converts
-    BGR->RGB, scales by 1/255, applies NO mean/std normalization
-    (``BlobFromImage(rgb, 1/255, ..., swapRB=false, crop=false)``,
-    embeddings.go:96). We keep those numerics bit-faithful in float32.
+    Device-side preprocessing numerics (resize size, 1/255 scale, mean/std,
+    BGR->RGB — parity with BlobFromImage at embeddings.go:96) are properties
+    of the selected MODEL, not free config: they live in each embedder's
+    ``EmbedderSpec`` (models/registry.py) so a CLIP tower can't silently run
+    with ResNet normalization.
     """
 
-    size: int = 224
-    scale: float = 1.0 / 255.0
-    # The reference feeds raw 1/255 pixels with no mean/std; CLIP-style
-    # embedders override these per-model.
-    mean: tuple[float, float, float] = (0.0, 0.0, 0.0)
-    std: tuple[float, float, float] = (1.0, 1.0, 1.0)
-    # Host-side decode workers (C++ runtime / thread pool).
+    # Host-side decode workers (capped at cpu_count by the loader).
     decode_workers: int = 8
 
 

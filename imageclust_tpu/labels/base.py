@@ -53,17 +53,23 @@ class CachedLabeler:
     cache file for observability.
     """
 
-    def __init__(self, inner: Labeler, cache_dir: str | None):
+    def __init__(self, inner: Labeler, cache_dir: str | None,
+                 namespace: str = ""):
         self.inner = inner
         self.cache_dir = cache_dir
+        # backend identity in the key: a reused cache dir must never serve
+        # one backend's labels for another (cf. EmbeddingCache's model_tag)
+        self.namespace = namespace or type(inner).__name__
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
         self.hits = 0
         self.misses = 0
 
     def _cache_path(self, image_bytes: bytes) -> str:
-        digest = hashlib.sha256(image_bytes).hexdigest()[:32]
-        return os.path.join(self.cache_dir, f"{digest}_labels.json")
+        h = hashlib.sha256()
+        h.update(self.namespace.encode())
+        h.update(image_bytes)
+        return os.path.join(self.cache_dir, f"{h.hexdigest()[:32]}_labels.json")
 
     def detect_labels(
         self, image_bytes: bytes, max_labels: int, min_confidence: float

@@ -326,10 +326,10 @@ def write_onnx_model(
     for name, shape in outputs.items():
         graph += _ld(12, _value_info(name, shape))
 
-    model = _vi(1, 7)  # ir_version
-    model += _ld(8, b"")  # producer_name
-    model += _ld(7, graph)
-    # opset_import: OperatorSetIdProto {domain="", version}
-    model += _ld(14, _ld(1, b"") + _vi(2, opset))
+    model = _vi(1, 7)  # ModelProto.ir_version = 1
+    model += _ld(2, b"imageclust_tpu")  # producer_name = 2
+    model += _ld(7, graph)  # graph = 7
+    # opset_import = 8: OperatorSetIdProto {domain=1, version=2}
+    model += _ld(8, _ld(1, b"") + _vi(2, opset))
     with open(path, "wb") as fh:
         fh.write(model)

@@ -35,6 +35,10 @@ class TextConfig:
     proj_dim: int = 512
     context: int = 77
     quick_gelu: bool = True
+    # Pooling position: None = argmax(token_ids), the CLIP-BPE convention
+    # where <end> carries the highest id; set to the <end> token id when the
+    # tokenizer doesn't satisfy that (the hashing tokenizer uses 2).
+    eot_id: int | None = None
 
 
 def hash_tokenize(text: str, vocab: int, context: int) -> np.ndarray:
@@ -99,9 +103,11 @@ class TextTransformer(nn.Module):
             x = TextBlock(c, dtype=self.dtype, name=f"block{i}")(x, causal)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="ln_final")(x)
-        # pool at the <end> token position (id 2 in the hashing tokenizer /
-        # argmax-token convention in CLIP)
-        eot = jnp.argmax(token_ids, axis=1)
+        # pool at the <end> token position
+        if c.eot_id is None:  # CLIP BPE: <end> has the highest id
+            eot = jnp.argmax(token_ids, axis=1)
+        else:  # explicit <end> id (hashing tokenizer: 2)
+            eot = jnp.argmax((token_ids == c.eot_id).astype(jnp.int32), axis=1)
         pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
         return nn.Dense(c.proj_dim, use_bias=False, dtype=jnp.float32,
                         param_dtype=jnp.float32,
@@ -114,7 +120,12 @@ class TextEncoder:
     def __init__(self, cfg: TextConfig | None = None, seed: int = 0,
                  variables: dict | None = None):
         self.cfg = cfg or TextConfig(width=256, depth=4, heads=4,
-                                     proj_dim=512, vocab=16384)
+                                     proj_dim=512, vocab=16384, eot_id=2)
+        if self.cfg.eot_id is None:
+            # TextEncoder always tokenizes with hash_tokenize (<end> = 2)
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, eot_id=2)
         self.model = TextTransformer(self.cfg)
         if variables is None:
             dummy = jnp.zeros((1, self.cfg.context), jnp.int32)

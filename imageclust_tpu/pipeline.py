@@ -194,6 +194,7 @@ class Pipeline:
                         min_size=min_size, max_size=max_size,
                         bucket_size=cfg.cluster.bucket_size,
                         kmeans_iters=cfg.cluster.kmeans_iters,
+                        update_rule=cfg.cluster.scale_update_rule,
                         mesh=self.mesh,
                         reassign_dropped=cfg.cluster.reassign_dropped,
                     )

@@ -87,14 +87,30 @@ def create_app(
         client_max_size=config.service.max_upload_bytes,  # handlers.go:71
     )
 
+    def _write_result(job, result) -> None:
+        # atomic: a concurrent GET /api/result must never read a partial file
+        path = os.path.join(job.work_dir, "result.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(result.to_dict(), fh)
+        os.replace(tmp, path)
+
+    # strong refs: the event loop holds tasks weakly — an unreferenced
+    # background job could be garbage-collected mid-run
+    background_tasks: set = set()
+
+    def _spawn(coro) -> None:
+        task = asyncio.create_task(coro)
+        background_tasks.add(task)
+        task.add_done_callback(background_tasks.discard)
+
     async def _run_job_background(job, uploads, min_size, max_size) -> None:
         try:
             async with run_lock:
                 result = await asyncio.to_thread(
                     pipeline.run, uploads, job.work_dir, min_size, max_size
                 )
-            with open(os.path.join(job.work_dir, "result.json"), "w") as fh:
-                json.dump(result.to_dict(), fh)
+            _write_result(job, result)
             jobs.set_status(job, "done")
         except Exception as exc:
             log.exception("async job %s failed", job.job_id)
@@ -142,9 +158,7 @@ def create_app(
         # ?async=1 — enqueue and return immediately; poll GET /api/result.
         # (The reference blocks the request for the whole pipeline.)
         if request.query.get("async") in ("1", "true"):
-            asyncio.create_task(
-                _run_job_background(job, uploads, min_size, max_size)
-            )
+            _spawn(_run_job_background(job, uploads, min_size, max_size))
             return web.json_response(
                 {"status": "accepted", "jobId": job.job_id,
                  "resultUrl": f"/api/result?job={job.job_id}"},
@@ -163,16 +177,15 @@ def create_app(
         finally:
             # retention applies on failures too, and off the event loop
             # (bulk rmtree would stall concurrent requests)
-            asyncio.create_task(
+            _spawn(
                 asyncio.to_thread(
                     jobs.prune,
                     config.service.max_jobs,
                     config.service.max_job_age_s,
                 )
             )
-        jobs.set_status(job, "done")
-        with open(os.path.join(job.work_dir, "result.json"), "w") as fh:
-            json.dump(result.to_dict(), fh)
+        _write_result(job, result)  # before 'done': pollers of /api/result
+        jobs.set_status(job, "done")  # must never see done-without-result
         return web.json_response(
             {
                 "status": "success",  # handlers.go:123-127 contract
@@ -211,8 +224,12 @@ def create_app(
         path = os.path.join(job.work_dir, "result.json")
         if not os.path.exists(path):
             return web.json_response(job.meta_dict())
-        with open(path) as fh:
-            return web.json_response(json.load(fh))
+        try:
+            with open(path) as fh:
+                return web.json_response(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            # pruned or mid-write: report the job meta instead of a 500
+            return web.json_response(job.meta_dict())
 
     async def jobs_handler(request: web.Request) -> web.Response:
         return web.json_response({"jobs": jobs.list_jobs()})

@@ -17,8 +17,9 @@ class TestDefaults:
         assert cfg.labels.max_labels == 10
         assert cfg.labels.min_confidence == 75.0
         assert cfg.naming.retries == 3
-        assert cfg.preprocess.size == 224
-        assert abs(cfg.preprocess.scale - 1 / 255) < 1e-9
+        # (preprocessing numerics are per-model EmbedderSpec values — see
+        # tests/test_preprocess.py — not free config)
+        assert cfg.preprocess.decode_workers >= 1
 
 
 class TestOverrides:
