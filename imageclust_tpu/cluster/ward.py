@@ -368,6 +368,22 @@ def _run_merges(
     return clusters, log
 
 
+def split_oversized(
+    x: np.ndarray,
+    members: list[int],
+    max_size: int,
+    update_rule: str = "centroid",
+) -> list[list[int]]:
+    """Split one oversized cluster by re-running the merge engine on its
+    members with the minSize=1 target — splitCluster semantics
+    (clustering.go:295-349, sub-target heuristic at :303)."""
+    sub_target = calculate_optimal_clusters(len(members), 1, max_size)
+    sub_clusters, _ = _run_merges(
+        np.asarray(x, np.float32)[members], sub_target, max_size, update_rule
+    )
+    return [[members[k] for k in sub] for sub in sub_clusters]
+
+
 def reassign_dropped_members(
     x: np.ndarray,
     index_map: dict[int, list[int]],
@@ -432,15 +448,11 @@ def constrained_ward(
     clusters, log = _run_merges(x, n_target, max_size, update_rule, mesh=mesh)
 
     # Oversized-split pass (clustering.go:248-262). Unreachable through the
-    # public path (the merge loop never exceeds max_size) but preserved:
-    # re-run the engine on the subset with the minSize=1 target
-    # (clustering.go:303).
+    # public path (the merge loop never exceeds max_size) but preserved.
     final: list[list[int]] = []
     for members in clusters:
         if len(members) > max_size:
-            sub_target = calculate_optimal_clusters(len(members), 1, max_size)
-            sub_clusters, _ = _run_merges(x[members], sub_target, max_size, update_rule)
-            final.extend([members[k] for k in sub] for sub in sub_clusters)
+            final.extend(split_oversized(x, members, max_size, update_rule))
         else:
             final.append(members)
 

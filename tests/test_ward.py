@@ -198,3 +198,53 @@ class TestReassignDropped:
         a = constrained_ward(x, min_size=3, max_size=6)
         b = constrained_ward(x, min_size=3, max_size=6)
         assert a.cluster_map == b.cluster_map and a.dropped == b.dropped
+
+
+class TestSplitOversized:
+    """splitCluster parity (clustering.go:295-349) — unreachable through the
+    public path in both implementations, tested via the extracted helper
+    against the oracle's transliteration."""
+
+    def test_matches_oracle_split(self, rng, blobs):
+        from imageclust_tpu.cluster.oracle import (
+            _compute_initial_distance_matrix,
+            _new_cluster,
+            _split_cluster,
+        )
+        from imageclust_tpu.cluster.ward import split_oversized
+
+        x = blobs(rng, n_blobs=3, per_blob=5, d=6)  # 15 points, max 4
+        members = list(range(15))
+        got = split_oversized(x, members, max_size=4)
+        # oracle path
+        parent = _new_cluster(0, x[0])
+        parent.indices = members
+        parent.size = len(members)
+        subs = _split_cluster(parent, x, 4)
+        for sc in subs:
+            sc.indices = [members[k] for k in sc.indices]
+        want = [sc.indices for sc in subs]
+        assert got == want
+        assert all(len(g) <= 4 for g in got)
+        assert sorted(m for g in got for m in g) == members
+
+    def test_remaps_global_indices(self, rng):
+        from imageclust_tpu.cluster.ward import split_oversized
+
+        x = rng.random((30, 4)).astype(np.float32)
+        members = [3, 7, 11, 15, 19, 23, 27, 29]
+        got = split_oversized(x, members, max_size=3)
+        flat = sorted(m for g in got for m in g)
+        assert flat == sorted(members)
+
+
+class TestGraftEntryShape:
+    def test_entry_is_jittable(self):
+        import jax
+
+        import __graft_entry__
+
+        fn, (variables, blob) = __graft_entry__.entry()
+        logits, pooled = jax.eval_shape(fn, variables, blob)
+        assert logits.shape == (8, 1000)
+        assert pooled.shape == (8, 2048)
