@@ -41,13 +41,14 @@ class BottleneckV1(nn.Module):
     stride: int
     project: bool
     dtype: Any = jnp.float32
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
         bn = partial(nn.BatchNorm, use_running_average=not train,
-                     momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                     momentum=0.9, epsilon=1e-5, dtype=self.norm_dtype,
                      param_dtype=jnp.float32)
         out_ch = self.width * 4
 
@@ -78,6 +79,10 @@ class ResNet50V1(nn.Module):
     num_classes: int = 1000
     dtype: Any = jnp.bfloat16
     stage_layers: Sequence[int] = GLUON_STAGE_LAYERS
+    # BatchNorm compute dtype. float32 is the parity default; bfloat16 lets
+    # XLA fuse the scale/shift into conv epilogues without f32 round trips
+    # (inference-safe: running stats are applied, not accumulated).
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
@@ -89,7 +94,7 @@ class ResNet50V1(nn.Module):
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv0")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
+                         epsilon=1e-5, dtype=self.norm_dtype,
                          param_dtype=jnp.float32, name="bn0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -104,6 +109,7 @@ class ResNet50V1(nn.Module):
                     stride=stride if bi == 0 else 1,
                     project=bi == 0,
                     dtype=self.dtype,
+                    norm_dtype=self.norm_dtype,
                     name=f"stage{si + 1}_block{bi}",
                 )(x, train=train)
 
