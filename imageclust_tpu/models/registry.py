@@ -181,7 +181,8 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
     from imageclust_tpu.models.resnet50 import ResNet50V1, load_onnx_params
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = ResNet50V1(dtype=dtype)
+    norm_dtype = jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
+    model = ResNet50V1(dtype=dtype, norm_dtype=norm_dtype)
     rng = jax.random.PRNGKey(rng_seed)
     dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
     variables = model.init(rng, dummy)
