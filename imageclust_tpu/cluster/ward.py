@@ -295,7 +295,7 @@ def _sharded_merge_loop(mesh, update_rule: str):
     """Per-mesh jitted exact merge loop with D row-sharded over 'data'."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (id(mesh), update_rule)
+    key = (mesh, update_rule)  # Mesh is hashable; id() could alias after GC
     if key not in _SHARDED_LOOPS:
         rows = NamedSharding(mesh, P("data", None))
 
