@@ -158,6 +158,45 @@ def bench_decode(n_images: int, workers: int) -> dict:
     }
 
 
+def bench_cluster_only(n: int, d: int, bucket_size: int) -> dict:
+    """Constrained-Ward alone over synthetic features (the SURVEY §6 scaling
+    ladder: Ward time at 1k/10k/100k/1M). Exact engine under exact_limit,
+    bucketed above."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+    from imageclust_tpu.cluster.ward import constrained_ward
+
+    _enable_compile_cache()
+    feats = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+
+    def run():
+        if n <= 4096:
+            return constrained_ward(np.asarray(feats), min_size=3, max_size=6,
+                                    update_rule="lance_williams")
+        return constrained_ward_bucketed(
+            feats, min_size=3, max_size=6, bucket_size=bucket_size,
+            update_rule="lance_williams",
+        )
+
+    t0 = time.perf_counter()
+    run()
+    _log(f"warmup/compile cluster: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    res = run()
+    dt = time.perf_counter() - t0
+    _log(f"cluster-only n={n} d={d}: {dt:.2f}s, {len(res.cluster_map)} "
+         f"clusters, {len(res.dropped)} dropped")
+    return {
+        "metric": f"ward_cluster_{n}_items",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / dt, 3),
+        "detail": {"n_clusters": len(res.cluster_map), "d": d},
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
@@ -165,11 +204,17 @@ def main() -> int:
     parser.add_argument("--bucket", type=int, default=256)
     parser.add_argument("--decode", action="store_true",
                         help="benchmark the host decode stage instead")
+    parser.add_argument("--cluster-only", action="store_true",
+                        help="benchmark constrained Ward alone")
+    parser.add_argument("--d", type=int, default=64,
+                        help="feature dim for --cluster-only")
     parser.add_argument("--workers", type=int, default=8)
     args = parser.parse_args()
 
     if args.decode:
         result = bench_decode(min(args.n, 10_000), args.workers)
+    elif args.cluster_only:
+        result = bench_cluster_only(args.n, args.d, args.bucket)
     else:
         result = bench_e2e(args.n, args.batch, args.bucket)
     detail = result.pop("detail")
