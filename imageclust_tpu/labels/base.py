@@ -87,7 +87,9 @@ class CachedLabeler:
                 log.warning("corrupt label cache %s — refetching", path)
         labels = self.inner.detect_labels(image_bytes, max_labels, min_confidence)
         self.misses += 1
-        tmp = path + ".tmp"
+        import threading
+
+        tmp = f"{path}.{threading.get_ident()}.tmp"  # unique per writer
         with open(tmp, "w") as fh:
             json.dump(
                 {

@@ -224,7 +224,8 @@ def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
 
     vcfg = VIT_CONFIGS[name]
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-    model = VisionTransformer(vcfg, dtype=dtype)
+    norm_dtype = jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
+    model = VisionTransformer(vcfg, dtype=dtype, norm_dtype=norm_dtype)
     rng = jax.random.PRNGKey(rng_seed)
     dummy = jnp.zeros((1, 3, vcfg.image_size, vcfg.image_size), jnp.float32)
     variables = model.init(rng, dummy)

@@ -71,11 +71,12 @@ def _gelu(x, quick: bool):
 class EncoderBlock(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    norm_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.norm_dtype,
                                        param_dtype=jnp.float32, name=name)
         dense = lambda d, name: nn.Dense(d, dtype=self.dtype,
                                          param_dtype=jnp.float32, name=name)
@@ -103,6 +104,9 @@ class VisionTransformer(nn.Module):
 
     cfg: ViTConfig
     dtype: Any = jnp.bfloat16
+    # LayerNorm compute dtype: float32 default (LN statistics are precision-
+    # sensitive); bfloat16 fuses into surrounding matmuls
+    norm_dtype: Any = jnp.float32
     # rematerialize encoder blocks: trades recompute for activation memory —
     # lets ViT-L/14@336 train/embed at large batch on one chip
     remat: bool = False
@@ -136,7 +140,8 @@ class VisionTransformer(nn.Module):
                              param_dtype=jnp.float32, name="ln_pre")(x).astype(self.dtype)
         block_cls = nn.remat(EncoderBlock) if self.remat else EncoderBlock
         for i in range(c.depth):
-            x = block_cls(c, dtype=self.dtype, name=f"block{i}")(x)
+            x = block_cls(c, dtype=self.dtype, norm_dtype=self.norm_dtype,
+                          name=f"block{i}")(x)
 
         if c.use_class_token:
             feat = x[:, 0]

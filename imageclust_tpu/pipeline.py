@@ -116,12 +116,29 @@ class Pipeline:
                     cfg.labels, cache_dir if cfg.labels.cache else None,
                     embedder=self.embedder,
                 )
-                per_image_labels = [
-                    labeler.detect_labels(
-                        blob, cfg.labels.max_labels, cfg.labels.min_confidence
-                    )
-                    for blob in blobs
-                ]
+                # network labelers (Rekognition) overlap their HTTPS calls;
+                # the reference labels strictly serially (workflow.go:120-147)
+                from concurrent.futures import ThreadPoolExecutor
+
+                workers = min(8, max(1, len(blobs)))
+                if workers == 1 or cfg.labels.backend in ("none", "zero_shot"):
+                    # zero_shot drives the TPU — keep it on one thread
+                    per_image_labels = [
+                        labeler.detect_labels(
+                            blob, cfg.labels.max_labels,
+                            cfg.labels.min_confidence,
+                        )
+                        for blob in blobs
+                    ]
+                else:
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        per_image_labels = list(pool.map(
+                            lambda b: labeler.detect_labels(
+                                b, cfg.labels.max_labels,
+                                cfg.labels.min_confidence,
+                            ),
+                            blobs,
+                        ))
                 # label-set threshold: 0 = observed reference behavior (the
                 # cache reuses the first query's labels); >0 filters like the
                 # reference's intended BuildLabelSet call (embeddings.go:208)
