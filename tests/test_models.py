@@ -179,3 +179,81 @@ class TestRegistry:
     def test_unknown_model_raises(self):
         with pytest.raises(ValueError, match="unknown model"):
             create_embedder(EmbedConfig(model="nope"))
+
+
+class TestClipTorchIngestion:
+    def test_hf_state_dict_round_trip(self):
+        """Synthesize an HF-CLIPVisionModel-shaped state dict from a tiny
+        tower's params (inverse layout mapping), ingest it, and require the
+        forward outputs to match — validates every name/transpose rule in
+        load_clip_vision_torch without the (absent) real checkpoint."""
+        import numpy as np
+
+        from imageclust_tpu.models.vit import (
+            ViTConfig,
+            VisionTransformer,
+            load_clip_vision_torch,
+        )
+
+        cfg = ViTConfig(patch=8, width=32, depth=2, heads=4, proj_dim=16,
+                        image_size=16)
+        model = VisionTransformer(cfg, dtype=jnp.float32)
+        x = jnp.asarray(
+            np.random.default_rng(0).random((2, 3, 16, 16)), jnp.float32
+        )
+        variables = model.init(jax.random.PRNGKey(1), x)
+        p = variables["params"]
+
+        sd = {
+            "vision_model.embeddings.patch_embedding.weight":
+                np.transpose(np.asarray(p["patch"]["kernel"]), (3, 2, 0, 1)),
+            "vision_model.embeddings.class_embedding":
+                np.asarray(p["class_token"]).reshape(-1),
+            "vision_model.embeddings.position_embedding.weight":
+                np.asarray(p["pos_embed"])[0],
+            "vision_model.pre_layrnorm.weight": np.asarray(p["ln_pre"]["scale"]),
+            "vision_model.pre_layrnorm.bias": np.asarray(p["ln_pre"]["bias"]),
+            "vision_model.post_layernorm.weight": np.asarray(p["ln_post"]["scale"]),
+            "vision_model.post_layernorm.bias": np.asarray(p["ln_post"]["bias"]),
+            "visual_projection.weight": np.asarray(p["projection"]["kernel"]).T,
+        }
+        for i in range(cfg.depth):
+            blk = p[f"block{i}"]
+            hf = f"vision_model.encoder.layers.{i}"
+            sd[f"{hf}.layer_norm1.weight"] = np.asarray(blk["ln1"]["scale"])
+            sd[f"{hf}.layer_norm1.bias"] = np.asarray(blk["ln1"]["bias"])
+            sd[f"{hf}.layer_norm2.weight"] = np.asarray(blk["ln2"]["scale"])
+            sd[f"{hf}.layer_norm2.bias"] = np.asarray(blk["ln2"]["bias"])
+            for ours, theirs in [("q", "self_attn.q_proj"),
+                                 ("k", "self_attn.k_proj"),
+                                 ("v", "self_attn.v_proj"),
+                                 ("proj", "self_attn.out_proj"),
+                                 ("mlp_up", "mlp.fc1"),
+                                 ("mlp_down", "mlp.fc2")]:
+                sd[f"{hf}.{theirs}.weight"] = np.asarray(blk[ours]["kernel"]).T
+                sd[f"{hf}.{theirs}.bias"] = np.asarray(blk[ours]["bias"])
+
+        loaded = load_clip_vision_torch(sd, cfg, dict(variables))
+        out_orig = np.asarray(model.apply(variables, x))
+        out_loaded = np.asarray(model.apply(loaded, x))
+        np.testing.assert_allclose(out_loaded, out_orig, atol=1e-6)
+
+    def test_rejects_shape_mismatch(self):
+        import numpy as np
+
+        from imageclust_tpu.models.vit import (
+            ViTConfig,
+            VisionTransformer,
+            load_clip_vision_torch,
+        )
+
+        cfg = ViTConfig(patch=8, width=32, depth=1, heads=4, proj_dim=16,
+                        image_size=16)
+        model = VisionTransformer(cfg, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 3, 16, 16), jnp.float32))
+        with pytest.raises((ValueError, KeyError)):
+            load_clip_vision_torch(
+                {"vision_model.embeddings.patch_embedding.weight":
+                 np.zeros((9, 9), np.float32)}, cfg, dict(variables)
+            )
