@@ -82,6 +82,17 @@ def create_app(
     jobs = job_store or JobStore(config.service.work_dir or None)
     run_lock = asyncio.Lock()  # one TPU pipeline run at a time
 
+    from imageclust_tpu.utils.metrics import ServiceMetrics
+
+    svc_metrics = ServiceMetrics()
+
+    def _record_run(result, ok: bool) -> None:
+        svc_metrics.inc("imageclust_jobs_total")
+        if ok:
+            svc_metrics.observe_run(result.metrics)
+        else:
+            svc_metrics.inc("imageclust_jobs_failed_total")
+
     app = web.Application(
         middlewares=[cors_middleware],
         client_max_size=config.service.max_upload_bytes,  # handlers.go:71
@@ -112,9 +123,11 @@ def create_app(
                 )
             _write_result(job, result)
             jobs.set_status(job, "done")
+            _record_run(result, True)
         except Exception as exc:
             log.exception("async job %s failed", job.job_id)
             jobs.set_status(job, "failed", str(exc))
+            _record_run(None, False)
         finally:
             await asyncio.to_thread(
                 jobs.prune, config.service.max_jobs,
@@ -173,6 +186,7 @@ def create_app(
         except Exception as exc:
             log.exception("job %s failed", job.job_id)
             jobs.set_status(job, "failed", str(exc))
+            _record_run(None, False)
             return _error(500, str(exc))
         finally:
             # retention applies on failures too, and off the event loop
@@ -186,6 +200,7 @@ def create_app(
             )
         _write_result(job, result)  # before 'done': pollers of /api/result
         jobs.set_status(job, "done")  # must never see done-without-result
+        _record_run(result, True)
         return web.json_response(
             {
                 "status": "success",  # handlers.go:123-127 contract
@@ -234,6 +249,10 @@ def create_app(
     async def jobs_handler(request: web.Request) -> web.Response:
         return web.json_response({"jobs": jobs.list_jobs()})
 
+    async def metrics_handler(request: web.Request) -> web.Response:
+        return web.Response(text=svc_metrics.render(),
+                            content_type="text/plain")
+
     async def health_handler(request: web.Request) -> web.Response:
         import jax
 
@@ -274,6 +293,7 @@ def create_app(
     app.router.add_get(r"/api/image/{name:.*}", image_handler)  # main.go:17
     app.router.add_get("/api/result", result_handler)
     app.router.add_get("/api/jobs", jobs_handler)
+    app.router.add_get("/metrics", metrics_handler)
     app.router.add_get("/healthz", health_handler)
     app.router.add_get(r"/{tail:.*}", spa_handler)  # main.go:21-22
     return app

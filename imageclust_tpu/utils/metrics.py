@@ -15,7 +15,42 @@ from dataclasses import dataclass, field
 
 log = logging.getLogger(__name__)
 
-__all__ = ["RunMetrics", "StageTimer"]
+__all__ = ["RunMetrics", "StageTimer", "ServiceMetrics"]
+
+
+class ServiceMetrics:
+    """Process-wide counters for the /metrics endpoint (Prometheus text
+    exposition format). The reference exposes no metrics at all
+    (SURVEY.md §5 observability)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.counters: dict[str, float] = {}
+
+    def inc(self, name: str, value: float = 1.0) -> None:
+        with self._lock:
+            self.counters[name] = self.counters.get(name, 0.0) + value
+
+    def observe_run(self, run: "RunMetrics") -> None:
+        self.inc("imageclust_images_total", run.counters.get("images", 0))
+        self.inc("imageclust_clusters_total", run.counters.get("clusters", 0))
+        self.inc("imageclust_dropped_total", run.counters.get("dropped", 0))
+        for stage, seconds in run.stages.items():
+            self.inc(f"imageclust_stage_seconds_total{{stage=\"{stage}\"}}",
+                     seconds)
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE imageclust_jobs_total counter",
+                "# TYPE imageclust_images_total counter",
+                "# TYPE imageclust_stage_seconds_total counter",
+            ]
+            for name in sorted(self.counters):
+                lines.append(f"{name} {self.counters[name]:.6g}")
+        return "\n".join(lines) + "\n"
 
 
 @dataclass

@@ -357,3 +357,23 @@ class TestAsyncMode:
             raise AssertionError("async job never finished")
 
         _run(_with_client(app_factory(), scenario))
+
+
+class TestMetricsEndpoint:
+    def test_counters_accumulate(self, app_factory, rng):
+        names, blobs = color_group_images(rng, n_groups=1, per_group=3)
+
+        async def scenario(client):
+            await client.post("/api/cluster",
+                              data=_upload_form(names, blobs, 3, 6))
+            text = await (await client.get("/metrics")).text()
+            assert "imageclust_jobs_total 1" in text
+            assert "imageclust_images_total 3" in text
+            assert 'imageclust_stage_seconds_total{stage="embed"}' in text
+            # a failed job increments the failure counter
+            n2, b2 = color_group_images(rng, n_groups=1, per_group=2)
+            await client.post("/api/cluster", data=_upload_form(n2, b2, 3, 6))
+            text2 = await (await client.get("/metrics")).text()
+            assert "imageclust_jobs_failed_total 1" in text2
+
+        _run(_with_client(app_factory(), scenario))

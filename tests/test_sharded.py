@@ -110,3 +110,12 @@ class TestShardedExactMode:
         sharded = constrained_ward(x, ids, min_size=3, max_size=6, mesh=mesh8)
         assert sharded.cluster_map == single.cluster_map
         assert sharded.dropped == single.dropped
+
+
+class TestInitDistributed:
+    def test_noop_without_coordinator(self, monkeypatch):
+        from imageclust_tpu.core.mesh import init_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        assert init_distributed() is False
