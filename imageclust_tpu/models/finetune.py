@@ -53,12 +53,16 @@ def finetune_resnet50(
     init_onnx: str = "",
     stage_layers=None,
     input_size: int = 224,
+    resume: bool = True,
 ):
     """Fine-tune ResNet50 on labeled folders; returns (variables, classes,
-    final loss). Saves an Orbax checkpoint at ``out_path``."""
+    final loss). Saves an Orbax checkpoint at ``out_path``; the full train
+    state (params + optimizer + epoch) checkpoints per epoch at
+    ``<out_path>_state`` so an interrupted run resumes where it stopped
+    (SURVEY.md §5 checkpoint/resume — the reference has none)."""
     from imageclust_tpu.models.resnet50 import ResNet50V1, load_onnx_params
     from imageclust_tpu.models.train import make_train_step, shard_variables
-    from imageclust_tpu.utils.checkpoint import save_variables
+    from imageclust_tpu.utils.checkpoint import restore_variables, save_variables
 
     from imageclust_tpu.models.resnet50 import GLUON_STAGE_LAYERS
 
@@ -95,7 +99,22 @@ def finetune_resnet50(
     pre = jax.jit(lambda u8: preprocess_batch(u8, size=input_size))
     rng_np = np.random.default_rng(seed)
     loss = float("nan")
-    for epoch in range(epochs):
+
+    state_path = os.path.abspath(out_path) + "_state"
+    start_epoch = 0
+    if resume and os.path.isdir(state_path):
+        template = {
+            "variables": jax.device_get(variables),
+            "opt_state": jax.device_get(opt_state),
+            "epoch": np.zeros((), np.int64),
+        }
+        restored = restore_variables(state_path, template)
+        variables = restored["variables"]
+        opt_state = restored["opt_state"]
+        start_epoch = int(restored["epoch"])
+        log.info("resuming fine-tune from epoch %d", start_epoch)
+
+    for epoch in range(start_epoch, epochs):
         order = rng_np.permutation(n)
         losses = []
         for start in range(0, n - batch_size + 1, batch_size):
@@ -107,6 +126,11 @@ def finetune_resnet50(
             losses.append(float(loss))
         log.info("epoch %d: mean loss %.4f", epoch, np.mean(losses))
         loss = float(np.mean(losses))
+        save_variables(state_path, {
+            "variables": jax.device_get(variables),
+            "opt_state": jax.device_get(opt_state),
+            "epoch": np.asarray(epoch + 1, np.int64),
+        })
 
     save_variables(out_path, jax.device_get(variables))
     if onnx_out:

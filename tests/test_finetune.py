@@ -71,3 +71,34 @@ class TestFinetune:
         net.setInput(np.zeros((1, 3, 32, 32), np.float32))
         out = net.forward("resnetv17_dense0_fwd")
         assert out.shape == (1, 2)
+
+
+class TestResume:
+    def test_resumes_from_saved_epoch(self, labeled_dir, tmp_path, caplog):
+        import logging
+
+        out = str(tmp_path / "ck")
+        # run 1 epoch, state saved with epoch=1
+        finetune_resnet50(labeled_dir, out, epochs=1, batch_size=4,
+                          stage_layers=(1, 1, 1, 1), input_size=32)
+        assert os.path.isdir(out + "_state")
+        # asking for 3 epochs resumes at 1 (runs 2 more, not 3)
+        with caplog.at_level(logging.INFO):
+            _, _, loss = finetune_resnet50(
+                labeled_dir, out, epochs=3, batch_size=4,
+                stage_layers=(1, 1, 1, 1), input_size=32,
+            )
+        assert "resuming fine-tune from epoch 1" in caplog.text
+        assert np.isfinite(loss)
+
+    def test_resume_disabled_starts_fresh(self, labeled_dir, tmp_path, caplog):
+        import logging
+
+        out = str(tmp_path / "ck2")
+        finetune_resnet50(labeled_dir, out, epochs=1, batch_size=4,
+                          stage_layers=(1, 1, 1, 1), input_size=32)
+        with caplog.at_level(logging.INFO):
+            finetune_resnet50(labeled_dir, out, epochs=1, batch_size=4,
+                              stage_layers=(1, 1, 1, 1), input_size=32,
+                              resume=False)
+        assert "resuming" not in caplog.text
