@@ -142,9 +142,19 @@ def create_app(
         uploads: list[UploadedImage] = []
         min_size = config.cluster.min_size
         max_size = config.cluster.max_size
+        total_bytes = 0
         async for part in reader:
             if part.name == "images" and part.filename:
                 data = await part.read(decode=False)
+                total_bytes += len(data)
+                # enforce the 32MB-style bound ourselves: client_max_size is
+                # not applied to streamed multipart reads (handlers.go:71)
+                if total_bytes > config.service.max_upload_bytes:
+                    return _error(
+                        413,
+                        f"upload exceeds "
+                        f"{config.service.max_upload_bytes} bytes",
+                    )
                 if data:
                     uploads.append(
                         UploadedImage(sanitize_filename(part.filename), data)

@@ -377,3 +377,30 @@ class TestMetricsEndpoint:
             assert "imageclust_jobs_failed_total 1" in text2
 
         _run(_with_client(app_factory(), scenario))
+
+
+class TestUploadLimit:
+    def test_oversized_upload_rejected(self, tmp_path, rng):
+        """client_max_size mirrors the reference's 32MB multipart bound
+        (handlers.go:71); oversized bodies are rejected, not processed."""
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=(), retries=1),
+            service=ServiceConfig(work_dir=str(tmp_path / "jobs"),
+                                  max_upload_bytes=64 * 1024),
+        )
+        pipeline = Pipeline(cfg, embedder=MeanColorEmbedder())
+        app = create_app(cfg, pipeline, JobStore(str(tmp_path / "jobs")))
+
+        async def scenario(client):
+            big = rng.integers(0, 256, (300, 300, 3), dtype=np.uint8)
+            from helpers import encode_png
+
+            blob = encode_png(big)
+            assert len(blob) > 64 * 1024
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(["big.png"], [blob], 3, 6)
+            )
+            assert resp.status in (400, 413)
+
+        _run(_with_client(app, scenario))
