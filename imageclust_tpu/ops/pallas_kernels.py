@@ -51,15 +51,21 @@ def masked_argmin_pair_xla(D, births, sizes, active, max_size):
     return dmin, m1, m2
 
 
-def _argmin_kernel(D_ref, births_ref, sizes_ref, active_ref, max_size_ref,
+def _argmin_kernel(D_ref, row_births_ref, births_ref, row_sizes_ref,
+                   sizes_ref, row_active_ref, active_ref, max_size_ref,
                    dmin_ref, pair_ref):
-    """One grid step = one 128-row stripe of D reduced to a partial triple."""
+    """One grid step = one 128-row stripe of D reduced to a partial triple.
+
+    The stripe's own births/sizes/active arrive as separately BLOCKED inputs
+    (row_*): Mosaic has no dynamic_slice lowering, so per-stripe rows are
+    selected by BlockSpec index maps instead of in-kernel slicing.
+    """
     stripe = pl.program_id(0)
     n = D_ref.shape[1]
     T = D_ref.shape[0]
 
     d = D_ref[...]  # (T, n) f32
-    births = births_ref[...]  # (1, n) i32
+    births = births_ref[...]  # (1, n) i32 — full
     sizes = sizes_ref[...]  # (1, n) i32
     active = active_ref[...]  # (1, n) i32 (0/1)
     max_size = max_size_ref[0, 0]
@@ -68,13 +74,10 @@ def _argmin_kernel(D_ref, births_ref, sizes_ref, active_ref, max_size_ref,
     row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (T, n), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
 
-    births_row = jax.lax.dynamic_slice(births, (0, row0), (1, T))
-    births_r = jnp.broadcast_to(births_row.reshape(T, 1), (T, n))
+    births_r = jnp.broadcast_to(row_births_ref[...].reshape(T, 1), (T, n))
     births_c = jnp.broadcast_to(births, (T, n))
-    sizes_row = jax.lax.dynamic_slice(sizes, (0, row0), (1, T))
-    sizes_r = jnp.broadcast_to(sizes_row.reshape(T, 1), (T, n))
-    active_row = jax.lax.dynamic_slice(active, (0, row0), (1, T))
-    act_r = jnp.broadcast_to(active_row.reshape(T, 1), (T, n)) > 0
+    sizes_r = jnp.broadcast_to(row_sizes_ref[...].reshape(T, 1), (T, n))
+    act_r = jnp.broadcast_to(row_active_ref[...].reshape(T, 1), (T, n)) > 0
     act_c = jnp.broadcast_to(active, (T, n)) > 0
 
     ok = act_r & act_c & (row_ids != col_ids)
@@ -116,8 +119,16 @@ def masked_argmin_pair(D, births, sizes, active, max_size, interpret=False):
         in_specs=[
             pl.BlockSpec((_STRIPE, n), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            # the stripe's own rows, selected via index maps (no in-kernel
+            # dynamic_slice — Mosaic can't lower it)
+            pl.BlockSpec((1, _STRIPE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _STRIPE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _STRIPE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -132,7 +143,7 @@ def masked_argmin_pair(D, births, sizes, active, max_size, interpret=False):
             jax.ShapeDtypeStruct((grid, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(D, births2, sizes2, active2, max_size_arr)
+    )(D, births2, births2, sizes2, sizes2, active2, active2, max_size_arr)
 
     # combine the per-stripe partials (tiny) lexicographically
     dmins = dmins[:, 0]
