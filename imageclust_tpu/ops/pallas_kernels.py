@@ -91,12 +91,35 @@ def _argmin_kernel(D_ref, row_births_ref, births_ref, row_sizes_ref,
     m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
     m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
 
-    # each program owns row `stripe` of the full (grid, 128) output blocks
-    # (full-array blocks: scalar-per-program blocks violate the TPU tiling
-    # floor; lanes 1+ are padding)
-    dmin_ref[stripe, 0] = dmin
-    pair_ref[stripe, 0] = m1
-    pair_ref[stripe, 1] = m2
+    # Cross-stripe reduction happens IN the kernel: the outputs are one
+    # shared (8, 128) accumulator block (TPU grids run sequentially, so
+    # read-modify-write across programs is safe), updated with full-block
+    # vector stores — Mosaic forbids scalar VMEM stores. The running best
+    # triple lives at dmin[0,0] / pair[0,0..1].
+    @pl.when(stripe == 0)
+    def _():
+        dmin_ref[...] = jnp.full(dmin_ref.shape, jnp.inf, jnp.float32)
+        pair_ref[...] = jnp.full(pair_ref.shape, _BIG_I32, jnp.int32)
+
+    cur_d = dmin_ref[0, 0]
+    cur_hi = pair_ref[0, 0]
+    cur_lo = pair_ref[0, 1]
+    better = (dmin < cur_d) | (
+        (dmin == cur_d)
+        & ((m1 < cur_hi) | ((m1 == cur_hi) & (m2 < cur_lo)))
+    )
+    new_d = jnp.where(better, dmin, cur_d)
+    new_hi = jnp.where(better, m1, cur_hi)
+    new_lo = jnp.where(better, m2, cur_lo)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, dmin_ref.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dmin_ref.shape, 1)
+    at00 = (rows == 0) & (cols == 0)
+    at01 = (rows == 0) & (cols == 1)
+    dmin_ref[...] = jnp.where(at00, new_d, jnp.inf).astype(jnp.float32)
+    pair_ref[...] = jnp.where(
+        at00, new_hi, jnp.where(at01, new_lo, _BIG_I32)
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -133,27 +156,20 @@ def masked_argmin_pair(D, births, sizes, active, max_size, interpret=False):
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((grid, 128), lambda i: (0, 0),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((grid, 128), lambda i: (0, 0),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((grid, 128), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 128), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ),
         interpret=interpret,
     )(D, births2, births2, sizes2, sizes2, active2, active2, max_size_arr)
 
-    # combine the per-stripe partials (tiny) lexicographically
-    dmins = dmins[:, 0]
-    bhis = pairs[:, 0]
-    blos = pairs[:, 1]
-    dmin = jnp.min(dmins)
-    stripe_tie = dmins == dmin
-    m1 = jnp.min(jnp.where(stripe_tie, bhis, _BIG_I32))
-    m2 = jnp.min(jnp.where(stripe_tie & (bhis == m1), blos, _BIG_I32))
-    return dmin, m1, m2
+    # the kernel reduced across stripes in-place; read the winning triple
+    return dmins[0, 0], pairs[0, 0], pairs[0, 1]
 
 
 def _normalize_kernel(img_ref, scale_ref, mean_ref, std_ref, out_ref, *,
