@@ -175,3 +175,82 @@ class TestSigV4:
         monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
         with pytest.raises(AwsError, match="credentials not found"):
             AwsCredentials.from_env()
+
+
+class TestAwsTransport:
+    def test_post_json_signs_and_parses(self, monkeypatch):
+        import requests
+
+        from imageclust_tpu.utils.aws import AwsCredentials, AwsError, aws_post_json
+
+        seen = {}
+
+        class Resp:
+            status_code = 200
+            text = "{}"
+
+            def json(self):
+                return {"Labels": [{"Name": "X", "Confidence": 91.0}]}
+
+        def fake_post(url, data=None, headers=None, timeout=None):
+            seen["url"] = url
+            seen["headers"] = headers
+            seen["data"] = data
+            return Resp()
+
+        monkeypatch.setattr(requests, "post", fake_post)
+        out = aws_post_json(
+            "https://rekognition.us-east-1.amazonaws.com/",
+            region="us-east-1", service="rekognition",
+            payload={"MaxLabels": 3},
+            target="RekognitionService.DetectLabels",
+            creds=AwsCredentials("AK", "SK"),
+        )
+        assert out["Labels"][0]["Name"] == "X"
+        h = seen["headers"]
+        assert h["X-Amz-Target"] == "RekognitionService.DetectLabels"
+        assert h["Authorization"].startswith("AWS4-HMAC-SHA256 Credential=AK/")
+        assert "x-amz-target" in h["Authorization"]  # signed header list
+        assert b"MaxLabels" in seen["data"]
+
+    def test_post_json_raises_on_http_error(self, monkeypatch):
+        import requests
+
+        from imageclust_tpu.utils.aws import AwsCredentials, AwsError, aws_post_json
+
+        class Resp:
+            status_code = 403
+            text = "AccessDenied"
+
+            def json(self):
+                return {}
+
+        monkeypatch.setattr(requests, "post",
+                            lambda *a, **k: Resp())
+        with pytest.raises(AwsError, match="403"):
+            aws_post_json("https://bedrock-runtime.us-west-2.amazonaws.com/x",
+                          region="us-west-2", service="bedrock",
+                          payload={}, creds=AwsCredentials("AK", "SK"))
+
+    def test_rekognition_labeler_parses(self, monkeypatch):
+        import requests
+
+        from imageclust_tpu.labels.rekognition import RekognitionLabeler
+        from imageclust_tpu.utils.aws import AwsCredentials
+
+        class Resp:
+            status_code = 200
+            text = ""
+
+            def json(self):
+                return {"Labels": [
+                    {"Name": "Shoe", "Confidence": 97.2},
+                    {"Name": "Apparel", "Confidence": 88.0},
+                ]}
+
+        monkeypatch.setattr(requests, "post", lambda *a, **k: Resp())
+        lab = RekognitionLabeler(creds=AwsCredentials("AK", "SK"))
+        out = lab.detect_labels(b"imgbytes", 10, 75.0)
+        assert [(l.name, l.confidence) for l in out] == [
+            ("Shoe", 97.2), ("Apparel", 88.0)
+        ]
