@@ -248,3 +248,63 @@ class TestGraftEntryShape:
         logits, pooled = jax.eval_shape(fn, variables, blob)
         assert logits.shape == (8, 1000)
         assert pooled.shape == (8, 2048)
+
+
+class TestScipyCrossValidation:
+    """Independent oracle: with constraints disabled (min=1, max=n) the
+    engine must reproduce SciPy's Ward agglomeration — scipy's linkage
+    distance is sqrt(2x) our WardDistance (a monotone transform, so merge
+    order and partitions coincide on tie-free data)."""
+
+    def test_partition_matches_scipy(self, rng, blobs):
+        from scipy.cluster.hierarchy import fcluster, linkage
+
+        x = blobs(rng, n_blobs=7, per_blob=6, d=8, spread=0.5)
+        n = len(x)
+        k = 7
+        # our engine, unconstrained to target k
+        from imageclust_tpu.cluster.ward import _run_merges
+
+        clusters, _ = _run_merges(x, n_target=k, max_size=n,
+                                  update_rule="centroid")
+        ours = np.zeros(n, np.int64)
+        for cid, members in enumerate(clusters):
+            ours[members] = cid
+
+        Z = linkage(x, method="ward")
+        theirs = fcluster(Z, t=k, criterion="maxclust")
+
+        # same partition up to label permutation
+        pairs = {(a, b) for a in range(n) for b in range(a)
+                 if ours[a] == ours[b]}
+        pairs_scipy = {(a, b) for a in range(n) for b in range(a)
+                       if theirs[a] == theirs[b]}
+        assert pairs == pairs_scipy
+
+    def test_merge_distances_match_scipy(self, rng):
+        from scipy.cluster.hierarchy import linkage
+
+        x = rng.normal(size=(40, 6)).astype(np.float32)
+        from imageclust_tpu.cluster.ward import _run_merges
+
+        # run to a single cluster and reconstruct our merge order
+        clusters, log = _run_merges(x, n_target=1, max_size=40,
+                                    update_rule="centroid")
+        assert len(clusters) == 1
+        Z = linkage(x, method="ward")
+        # both produce n-1 merges; scipy's heights are sqrt(2 * ward_cost).
+        # Reconstruct our merge costs by replaying sizes/centroids.
+        sizes = {i: 1 for i in range(40)}
+        cents = {i: x[i].astype(np.float64) for i in range(40)}
+        our_heights = []
+        for hi, lo, new in log:
+            a, b = int(hi), int(lo)
+            d = ((sizes[a] * sizes[b]) / (sizes[a] + sizes[b])) * float(
+                ((cents[a] - cents[b]) ** 2).sum()
+            )
+            our_heights.append(np.sqrt(2.0 * d))
+            sizes[new] = sizes[a] + sizes[b]
+            cents[new] = (sizes[a] * cents[a] + sizes[b] * cents[b]) / sizes[new]
+        np.testing.assert_allclose(
+            sorted(our_heights), Z[:, 2], rtol=1e-4
+        )
