@@ -86,6 +86,7 @@ class Pipeline:
         min_size: int | None = None,
         max_size: int | None = None,
         profile_dir: str | None = None,
+        image_route: str = "/api/image/",
     ) -> PipelineResult:
         cfg = self.config
         min_size = cfg.cluster.min_size if min_size is None else min_size
@@ -224,7 +225,7 @@ class Pipeline:
                 )
 
             with timer.stage("report"):
-                html_path = write_report(details, work_dir)
+                html_path = write_report(details, work_dir, image_route)
 
         id_to_name = dict(zip(item_ids, names))
         dropped_names = [id_to_name[i] for i in result.dropped]

@@ -99,6 +99,17 @@ def _js_payload(cluster_id: str, title: str, phrase: str,
     return html.escape(json.dumps(payload), quote=True)
 
 
+def _image_url(image_route: str, name: str) -> str:
+    """Build an image URL. ``image_route`` is either a prefix
+    ("/api/image/") or a template with a "{name}" placeholder
+    ("/api/image/{name}?job=abc") — the latter keeps a job-scoped report's
+    images pointing at ITS job instead of whatever job is latest."""
+    quoted = html.escape(name, quote=True)
+    if "{name}" in image_route:
+        return image_route.format(name=quoted)
+    return image_route + quoted
+
+
 def render_report(
     clusters: dict[str, ClusterDetails],
     image_route: str = "/api/image/",
@@ -122,7 +133,7 @@ def render_report(
             )
         images = "".join(
             '<div class="image">'
-            f'<img src="{image_route}{html.escape(name, quote=True)}" '
+            f'<img src="{_image_url(image_route, name)}" '
             'alt="Cluster image" loading="lazy"></div>'
             for name in info.images
         )

@@ -119,7 +119,8 @@ def create_app(
         try:
             async with run_lock:
                 result = await asyncio.to_thread(
-                    pipeline.run, uploads, job.work_dir, min_size, max_size
+                    pipeline.run, uploads, job.work_dir, min_size, max_size,
+                    image_route=f"/api/image/{{name}}?job={job.job_id}",
                 )
             _write_result(job, result)
             jobs.set_status(job, "done")
@@ -191,7 +192,8 @@ def create_app(
         try:
             async with run_lock:
                 result = await asyncio.to_thread(
-                    pipeline.run, uploads, job.work_dir, min_size, max_size
+                    pipeline.run, uploads, job.work_dir, min_size, max_size,
+                    image_route=f"/api/image/{{name}}?job={job.job_id}",
                 )
         except Exception as exc:
             log.exception("job %s failed", job.job_id)

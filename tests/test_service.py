@@ -404,3 +404,30 @@ class TestUploadLimit:
             assert resp.status in (400, 413)
 
         _run(_with_client(app, scenario))
+
+
+class TestJobScopedReportImages:
+    def test_old_job_report_references_its_own_images(self, app_factory, rng):
+        """A job's report must load ITS images even after newer jobs finish —
+        the reference's global dir made old reports show new images."""
+        n1, b1 = color_group_images(rng, n_groups=1, per_group=3, size=32)
+        rng2 = np.random.default_rng(5)
+        n2, b2 = color_group_images(rng2, n_groups=1, per_group=3, size=48)
+        n2 = [f"new_{x}" for x in n2]
+
+        async def scenario(client):
+            d1 = await (await client.post(
+                "/api/cluster", data=_upload_form(n1, b1, 3, 6))).json()
+            await client.post("/api/cluster", data=_upload_form(n2, b2, 3, 6))
+            html = await (await client.get(
+                f"/api/view?job={d1['jobId']}")).text()
+            assert f"?job={d1['jobId']}" in html
+            # and that URL actually serves the right file
+            import re
+
+            m = re.search(r'src="([^"]+)"', html)
+            assert m
+            r = await client.get(m.group(1).replace("&amp;", "&"))
+            assert r.status == 200
+
+        _run(_with_client(app_factory(), scenario))
