@@ -78,6 +78,10 @@ class ZeroShotLabeler:
         if img is None:
             raise ValueError("failed to decode image for zero-shot labeling")
         emb = self.embedder.embed(img[None])[0]
+        return self._labels_for(emb, max_labels, min_confidence)
+
+    def _labels_for(self, emb: np.ndarray, max_labels: int,
+                    min_confidence: float) -> list[Label]:
         emb = emb / max(np.linalg.norm(emb), 1e-8)
         sims = self.bank @ emb  # cosine in [-1, 1]
         conf = (sims + 1.0) * 50.0  # -> [0, 100], Rekognition-style scale
@@ -86,4 +90,15 @@ class ZeroShotLabeler:
             Label(self.names[i], float(conf[i]))
             for i in order
             if conf[i] >= min_confidence
+        ]
+
+    def labels_from_embeddings(
+        self, embeddings: np.ndarray, max_labels: int, min_confidence: float
+    ) -> list[list[Label]]:
+        """Batched zero-shot: label a whole (n, d) embedding matrix at once.
+        The pipeline reuses its batch embeddings here instead of paying a
+        second per-image forward pass per label query."""
+        return [
+            self._labels_for(np.asarray(e), max_labels, min_confidence)
+            for e in embeddings
         ]

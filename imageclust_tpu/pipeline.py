@@ -112,47 +112,20 @@ class Pipeline:
                 names, blobs = self._save_uploads(uploads, image_dir)
                 item_ids = [f"img_{i}" for i in range(len(names))]  # workflow.go:140
 
-            with timer.stage("label"):
-                labeler = create_labeler(
-                    cfg.labels, cache_dir if cfg.labels.cache else None,
-                    embedder=self.embedder,
-                )
-                # network labelers (Rekognition) overlap their HTTPS calls;
-                # the reference labels strictly serially (workflow.go:120-147)
-                from concurrent.futures import ThreadPoolExecutor
-
-                workers = min(8, max(1, len(blobs)))
-                if workers == 1 or cfg.labels.backend in ("none", "zero_shot"):
-                    # zero_shot drives the TPU — keep it on one thread
-                    per_image_labels = [
-                        labeler.detect_labels(
-                            blob, cfg.labels.max_labels,
-                            cfg.labels.min_confidence,
-                        )
-                        for blob in blobs
-                    ]
-                else:
-                    with ThreadPoolExecutor(max_workers=workers) as pool:
-                        per_image_labels = list(pool.map(
-                            lambda b: labeler.detect_labels(
-                                b, cfg.labels.max_labels,
-                                cfg.labels.min_confidence,
-                            ),
-                            blobs,
-                        ))
-                # label-set threshold: 0 = observed reference behavior (the
-                # cache reuses the first query's labels); >0 filters like the
-                # reference's intended BuildLabelSet call (embeddings.go:208)
-                floor = cfg.labels.label_set_min_confidence
-                if floor > 0:
-                    set_source = [
-                        [l for l in labels if l.confidence >= floor]
-                        for labels in per_image_labels
-                    ]
-                else:
-                    set_source = per_image_labels
-                label_set = build_label_set(set_source)
-                metrics.counters["unique_labels"] = len(label_set)
+            # zero-shot labels come FROM the batch embeddings (computed
+            # below) instead of a per-image forward pass per label query
+            zero_shot_batched = cfg.labels.backend == "zero_shot"
+            if not zero_shot_batched:
+                with timer.stage("label"):
+                    labeler = create_labeler(
+                        cfg.labels, cache_dir if cfg.labels.cache else None,
+                        embedder=self.embedder,
+                    )
+                    per_image_labels = self._detect_all(
+                        labeler, blobs, cfg.labels
+                    )
+                    label_set = self._label_set(per_image_labels, cfg.labels)
+                    metrics.counters["unique_labels"] = len(label_set)
 
             with timer.stage("decode"):
                 batch = decode_images(
@@ -182,6 +155,19 @@ class Pipeline:
                     metrics.counters["embed_cache_hits"] = emb_cache.hits
                 else:
                     image_emb = self.embedder.embed(batch)
+
+            if zero_shot_batched:
+                with timer.stage("label"):
+                    from imageclust_tpu.labels.zero_shot import ZeroShotLabeler
+
+                    zs = ZeroShotLabeler.default(embedder=self.embedder)
+                    per_image_labels = zs.labels_from_embeddings(
+                        np.asarray(image_emb),
+                        cfg.labels.max_labels,
+                        cfg.labels.min_confidence,
+                    )
+                    label_set = self._label_set(per_image_labels, cfg.labels)
+                    metrics.counters["unique_labels"] = len(label_set)
 
             with timer.stage("fuse"):
                 label_mat = one_hot_matrix(per_image_labels, label_set)
@@ -234,6 +220,41 @@ class Pipeline:
         return PipelineResult(details, html_path, metrics, dropped_names)
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _detect_all(labeler, blobs, label_cfg):
+        """Per-image labels; network labelers overlap their HTTPS calls (the
+        reference labels strictly serially, workflow.go:120-147)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, max(1, len(blobs)))
+        if workers == 1 or label_cfg.backend in ("none",):
+            return [
+                labeler.detect_labels(b, label_cfg.max_labels,
+                                      label_cfg.min_confidence)
+                for b in blobs
+            ]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(
+                lambda b: labeler.detect_labels(
+                    b, label_cfg.max_labels, label_cfg.min_confidence),
+                blobs,
+            ))
+
+    @staticmethod
+    def _label_set(per_image_labels, label_cfg):
+        """Label-set threshold: 0 = observed reference behavior (the cache
+        reuses the first query's labels); >0 filters like the reference's
+        intended BuildLabelSet call (embeddings.go:208)."""
+        floor = label_cfg.label_set_min_confidence
+        if floor > 0:
+            source = [
+                [l for l in labels if l.confidence >= floor]
+                for labels in per_image_labels
+            ]
+        else:
+            source = per_image_labels
+        return build_label_set(source)
 
     def _save_uploads(
         self, uploads: list[UploadedImage], image_dir: str

@@ -122,3 +122,33 @@ class TestPipelineRun:
             assert d.title == ""
             assert d.service_outputs == []
             assert d.labels == ""
+
+
+class TestZeroShotBatched:
+    def test_labels_come_from_batch_embeddings(self, rng, tmp_path):
+        from imageclust_tpu.config import AppConfig, LabelConfig, NamingConfig
+        from imageclust_tpu.pipeline import Pipeline
+        from imageclust_tpu.types import UploadedImage
+
+        from helpers import MeanColorEmbedder, color_group_images
+
+        class CountingEmb(MeanColorEmbedder):
+            calls = 0
+
+            def embed(self, images):
+                CountingEmb.calls += 1
+                return super().embed(images)
+
+        cfg = AppConfig(
+            labels=LabelConfig(backend="zero_shot", min_confidence=0.0),
+            naming=NamingConfig(services=(), retries=1),
+        )
+        emb = CountingEmb()
+        pipe = Pipeline(cfg, embedder=emb)
+        names, blobs = color_group_images(rng, n_groups=1, per_group=4)
+        ups = [UploadedImage(n, b) for n, b in zip(names, blobs)]
+        result = pipe.run(ups, str(tmp_path), min_size=3, max_size=6)
+        # exactly ONE embed call (the batch) — no per-image zero-shot passes
+        assert CountingEmb.calls == 1
+        for d in result.clusters.values():
+            assert d.labels  # labels produced from the embeddings
