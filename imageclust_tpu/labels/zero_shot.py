@@ -93,12 +93,33 @@ class ZeroShotLabeler:
         ]
 
     def labels_from_embeddings(
-        self, embeddings: np.ndarray, max_labels: int, min_confidence: float
+        self, embeddings, max_labels: int, min_confidence: float
     ) -> list[list[Label]]:
         """Batched zero-shot: label a whole (n, d) embedding matrix at once.
-        The pipeline reuses its batch embeddings here instead of paying a
-        second per-image forward pass per label query."""
+
+        One device matmul against the bank + top-k; only the (n, k) winners
+        cross to the host, so device-resident big-job embeddings stay in HBM
+        (pulling an (n, d) matrix over a slow link is exactly what the
+        big-job path avoids)."""
+        import jax
+        import jax.numpy as jnp
+
+        k = min(max_labels, len(self.names))
+
+        @jax.jit
+        def topk(embs, bank):
+            norms = jnp.linalg.norm(embs, axis=1, keepdims=True)
+            sims = (embs / jnp.maximum(norms, 1e-8)) @ bank.T
+            conf = (sims + 1.0) * 50.0
+            vals, idx = jax.lax.top_k(conf, k)
+            return vals, idx
+
+        vals, idx = topk(jnp.asarray(embeddings, jnp.float32),
+                         jnp.asarray(self.bank))
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
         return [
-            self._labels_for(np.asarray(e), max_labels, min_confidence)
-            for e in embeddings
+            [Label(self.names[int(j)], float(c))
+             for j, c in zip(row_idx, row_vals) if c >= min_confidence]
+            for row_idx, row_vals in zip(idx, vals)
         ]

@@ -158,11 +158,14 @@ class Pipeline:
 
             if zero_shot_batched:
                 with timer.stage("label"):
-                    from imageclust_tpu.labels.zero_shot import ZeroShotLabeler
-
-                    zs = ZeroShotLabeler.default(embedder=self.embedder)
+                    # construction stays with create_labeler (one place for
+                    # bank/config plumbing); the per-image file cache doesn't
+                    # apply to the batched flow — the embedding cache already
+                    # covers the expensive half
+                    zs = create_labeler(cfg.labels, None,
+                                        embedder=self.embedder)
                     per_image_labels = zs.labels_from_embeddings(
-                        np.asarray(image_emb),
+                        image_emb,  # device array stays on device
                         cfg.labels.max_labels,
                         cfg.labels.min_confidence,
                     )

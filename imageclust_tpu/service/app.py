@@ -146,16 +146,25 @@ def create_app(
         total_bytes = 0
         async for part in reader:
             if part.name == "images" and part.filename:
-                data = await part.read(decode=False)
-                total_bytes += len(data)
-                # enforce the 32MB-style bound ourselves: client_max_size is
-                # not applied to streamed multipart reads (handlers.go:71)
-                if total_bytes > config.service.max_upload_bytes:
-                    return _error(
-                        413,
-                        f"upload exceeds "
-                        f"{config.service.max_upload_bytes} bytes",
-                    )
+                # enforce the 32MB-style bound ourselves, mid-stream:
+                # client_max_size is not applied to streamed multipart reads
+                # (handlers.go:71), and buffering a whole part before
+                # checking would let one oversized part exhaust memory
+                chunks = []
+                while True:
+                    chunk = await part.read_chunk(64 * 1024)
+                    if not chunk:
+                        break
+                    total_bytes += len(chunk)
+                    if total_bytes > config.service.max_upload_bytes:
+                        return _error(
+                            413,
+                            f"upload exceeds "
+                            f"{config.service.max_upload_bytes} bytes",
+                        )
+                    chunks.append(chunk)
+                # raw bytes, matching the previous read(decode=False)
+                data = b"".join(chunks)
                 if data:
                     uploads.append(
                         UploadedImage(sanitize_filename(part.filename), data)
