@@ -32,16 +32,9 @@ def _log(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: compile once per shape across
-    processes (first compiles through a tunneled TPU can take minutes)."""
-    import jax
+    from imageclust_tpu.utils.compile_cache import enable_compile_cache
 
-    cache_dir = os.environ.get("IMAGECLUST_JAX_CACHE",
-                               os.path.join(os.path.dirname(__file__),
-                                            ".jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 
 def bench_e2e(n_images: int, batch_size: int, bucket_size: int) -> dict:
