@@ -62,7 +62,13 @@ class ZeroShotLabeler:
             data = np.load(bank_path, allow_pickle=True)
             names = [str(n) for n in data["names"]]
             return cls(names, np.asarray(data["vectors"], np.float32), embedder)
-        # deterministic demo bank: stable pseudo-prototypes in embed space
+        # Deterministic demo bank: stable pseudo-prototypes in embed space.
+        # NOTE: random prototypes give cosines near 0 -> confidences near 50,
+        # below the reference-parity default threshold (75), so labels stay
+        # empty until a real bank is supplied (IMAGECLUST_LABEL_BANK npz from
+        # `imageclust bank`, or matched image/text checkpoints) or the
+        # threshold is lowered. That is deliberate: the demo bank must not
+        # fabricate confident labels.
         rng = np.random.default_rng(7)
         from imageclust_tpu.labels.fake import _VOCAB
 
