@@ -30,7 +30,7 @@ def clustering_instance(draw):
     return x, min_size, max_size
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(clustering_instance())
 def test_engine_matches_oracle_exactly(instance):
     x, min_size, max_size = instance
@@ -52,7 +52,7 @@ def test_engine_matches_oracle_exactly(instance):
     assert got.cluster_map == want
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=50, deadline=None)
 @given(clustering_instance())
 def test_invariants_hold_for_any_instance(instance):
     x, min_size, max_size = instance
