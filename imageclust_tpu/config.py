@@ -97,6 +97,10 @@ class EmbedConfig:
     # Orbax checkpoint (e.g. from `imageclust train`); takes precedence over
     # onnx_path when set.
     checkpoint_path: str = ""
+    # Classifier head width — must match a restored checkpoint's (a tuned
+    # tower from `imageclust train` has len(classes) outputs). With
+    # output="logits" this is also the embedding dim.
+    num_classes: int = 1000
     batch_size: int = 256
     # "logits" = the 1000-d head the reference reads (layer
     # "resnetv17_dense0_fwd", embeddings.go:140); "pooled" = 2048-d features.

@@ -182,7 +182,8 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     norm_dtype = jnp.bfloat16 if cfg.norm_dtype == "bfloat16" else jnp.float32
-    model = ResNet50V1(dtype=dtype, norm_dtype=norm_dtype)
+    model = ResNet50V1(dtype=dtype, norm_dtype=norm_dtype,
+                       num_classes=cfg.num_classes)
     rng = jax.random.PRNGKey(rng_seed)
     dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
     variables = model.init(rng, dummy)
@@ -210,7 +211,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
     spec = EmbedderSpec(
         name="resnet50",
         input_size=224,
-        dim=2048 if pooled else 1000,
+        dim=2048 if pooled else cfg.num_classes,
         scale=1.0 / 255.0,  # embeddings.go:96 — no mean/std
         mean=(0.0, 0.0, 0.0),
         std=(1.0, 1.0, 1.0),
