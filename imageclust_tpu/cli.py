@@ -23,7 +23,25 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--namers", default=None,
                    help="comma list: fake,claude_haiku,claude_sonnet,"
                         "nova_micro,gpt-3.5-turbo,gpt-4")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="SECTION.FIELD=VALUE",
+                   help="override any config knob, e.g. "
+                        "--set cluster.reassign_dropped=true "
+                        "--set embed.checkpoint_path=ckpt/emb")
     p.add_argument("-v", "--verbose", action="store_true")
+
+
+def _coerce_value(raw: str):
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    if "," in raw:
+        return tuple(s for s in raw.split(",") if s)
+    return raw
 
 
 def _build_config(args) -> "AppConfig":
@@ -38,6 +56,14 @@ def _build_config(args) -> "AppConfig":
         overrides.setdefault("naming", {})["services"] = tuple(
             s for s in args.namers.split(",") if s
         )
+    for item in getattr(args, "sets", []):
+        key, sep, raw = item.partition("=")
+        section, dot, field = key.partition(".")
+        if not sep or not dot:
+            raise SystemExit(
+                f"--set expects SECTION.FIELD=VALUE, got {item!r}"
+            )
+        overrides.setdefault(section, {})[field] = _coerce_value(raw)
     return load_config(args.config or None, overrides)
 
 

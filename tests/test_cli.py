@@ -75,3 +75,46 @@ class TestCli:
         assert captured["labeler"] == "fake"
         out = capsys.readouterr().out
         assert json.loads(out)["clusters"] == {}
+
+
+class TestSetOverrides:
+    def test_set_flags_reach_config(self, rng, tmp_path, monkeypatch):
+        from helpers import encode_png
+
+        captured = {}
+
+        class FakePipeline:
+            def __init__(self, config):
+                captured["reassign"] = config.cluster.reassign_dropped
+                captured["bucket"] = config.cluster.bucket_size
+                captured["weight"] = config.labels.fusion_weight
+
+            def run(self, uploads, work_dir, min_size=None, max_size=None,
+                    profile_dir=None, image_route="/api/image/"):
+                class R:
+                    html_path = work_dir + "/clusters.html"
+
+                    def to_dict(self):
+                        return {"clusters": {}, "dropped": [], "metrics": {}}
+
+                return R()
+
+        monkeypatch.setattr("imageclust_tpu.pipeline.Pipeline", FakePipeline)
+        d = tmp_path / "im"
+        d.mkdir()
+        (d / "a.png").write_bytes(
+            encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        rc = main(["run", "--images", str(d), "--labeler", "fake",
+                   "--set", "cluster.reassign_dropped=true",
+                   "--set", "cluster.bucket_size=128",
+                   "--set", "labels.fusion_weight=2.5",
+                   "--out", str(tmp_path / "w")])
+        assert rc == 0
+        assert captured == {"reassign": True, "bucket": 128, "weight": 2.5}
+
+    def test_malformed_set_rejected(self):
+        with pytest.raises(SystemExit):
+            main(["models", "--help"])  # sanity that SystemExit pattern works
+
+        with pytest.raises(SystemExit, match="SECTION.FIELD"):
+            main(["run", "--images", "/tmp", "--set", "nonsense"])
