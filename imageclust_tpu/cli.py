@@ -133,6 +133,30 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the configured ResNet50 (base or fine-tuned checkpoint) as a
+    gluon-named ONNX model loadable by OpenCV DNN / onnxruntime — including
+    the reference's own stack."""
+    import jax
+
+    from imageclust_tpu.models.onnx_export import export_resnet50_onnx
+
+    config = _build_config(args)
+    if config.embed.model != "resnet50":
+        print("error: ONNX export currently supports resnet50", file=sys.stderr)
+        return 2
+    from imageclust_tpu.models import create_embedder
+
+    embedder = create_embedder(config.embed)
+    export_resnet50_onnx(
+        jax.device_get(embedder.variables), args.out,
+        num_classes=config.embed.num_classes,
+    )
+    print(json.dumps({"onnx": args.out,
+                      "num_classes": config.embed.num_classes}))
+    return 0
+
+
 def cmd_bank(args) -> int:
     """Build a zero-shot label bank: each subdirectory of --images is a
     label; its prototype is the mean embedding of the contained images."""
@@ -225,6 +249,13 @@ def main(argv: list[str] | None = None) -> int:
     p_bank.add_argument("--out", default="label_bank.npz")
     _add_common(p_bank)
     p_bank.set_defaults(fn=cmd_bank)
+
+    p_export = sub.add_parser(
+        "export", help="export the embedder as an ONNX model"
+    )
+    p_export.add_argument("--out", default="embedder.onnx")
+    _add_common(p_export)
+    p_export.set_defaults(fn=cmd_export)
 
     p_models = sub.add_parser("models", help="list embedder models")
     p_models.set_defaults(fn=cmd_models)
