@@ -18,11 +18,27 @@ from imageclust_tpu.cluster.ward import (
 
 
 @st.composite
-def clustering_instance(draw):
+def clustering_instance(draw, exact_domain=False):
     n = draw(st.integers(4, 24))
     d = draw(st.integers(1, 4))
-    min_size = draw(st.integers(1, 4))
-    max_size = draw(st.integers(min_size, min_size + 4))
+    if exact_domain:
+        # Bit-exact parity is only GUARANTEED when every intermediate value
+        # is exactly representable: with max_size=2 all centroids stay dyadic
+        # (averages of <=2 integer points), sums of dyadics this small are
+        # order-independent, and the Ward size factor rounds identically on
+        # both sides. Beyond that, mathematically EQUAL distances reached
+        # through different centroid histories round to different f32 values
+        # per computation path (e.g. 13/6 via a dyadic centroid vs via a
+        # 1/3-rounded centroid), so the argmin legitimately differs between
+        # ANY two implementations — including the Go reference and a
+        # restructured version of itself. The fuzzer found exactly such a
+        # case; see test_invariants_hold_for_any_instance for the contract
+        # that holds on the full domain.
+        min_size = draw(st.integers(1, 2))
+        max_size = 2
+    else:
+        min_size = draw(st.integers(1, 4))
+        max_size = draw(st.integers(min_size, min_size + 4))
     seed = draw(st.integers(0, 2**31 - 1))
     rng = np.random.default_rng(seed)
     # small integer coordinates: exact f32 arithmetic, dense ties
@@ -31,7 +47,7 @@ def clustering_instance(draw):
 
 
 @settings(max_examples=80, deadline=None)
-@given(clustering_instance())
+@given(clustering_instance(exact_domain=True))
 def test_engine_matches_oracle_exactly(instance):
     x, min_size, max_size = instance
     ids = [f"i{k}" for k in range(len(x))]
