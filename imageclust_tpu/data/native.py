@@ -15,6 +15,7 @@ import numpy as np
 __all__ = [
     "available",
     "native_resize_batch",
+    "native_resize_u8",
     "native_preprocess_blob",
     "native_content_hash",
     "native_decode_resize",
@@ -53,6 +54,20 @@ def _load():
             ]
             lib.ic_content_hash.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
             lib.ic_content_hash.restype = ctypes.c_uint64
+            # Refuse stale builds: the ABI (and the uint8 resize numerics)
+            # are pinned to the source in native/preproc.cpp; a leftover .so
+            # from an older checkout must not silently control preprocessing
+            # (ADVICE r1). Rebuild with `make -C native`.
+            try:
+                if lib.ic_version() < 2:
+                    continue
+            except AttributeError:
+                continue
+            lib.ic_resize_batch_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
             _LIB = lib
             break
     return _LIB
@@ -118,10 +133,31 @@ def native_content_hash(data: bytes) -> int | None:
     return int(lib.ic_content_hash(buf, len(data)))
 
 
+def native_resize_u8(
+    batch: np.ndarray, out_h: int, out_w: int, threads: int = 8
+) -> np.ndarray | None:
+    """(N,H,W,C) uint8 -> (N,out_h,out_w,C) uint8, bit-exact with
+    cv2.resize INTER_LINEAR's 11-bit fixed-point uint8 path; None when the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    batch = np.ascontiguousarray(batch, dtype=np.uint8)
+    n, h, w, c = batch.shape
+    out = np.empty((n, out_h, out_w, c), np.uint8)
+    lib.ic_resize_batch_u8(
+        batch.ctypes.data, n, h, w, c, out.ctypes.data, out_h, out_w,
+        max(1, threads),
+    )
+    return out
+
+
 def native_decode_resize(data: bytes, size: int | None):
     """Decode is delegated to OpenCV (the same C++ codec stack the reference
-    uses through gocv); the resize fast path is ours. Returns None to let the
-    caller fall back when the lib is absent or size is None."""
+    uses through gocv); the resize fast path is ours, using the fixed-point
+    uint8 kernel so pixels are identical to the cv2.resize fallback whether
+    or not the library loads. Returns None to let the caller fall back when
+    the lib is absent or size is None."""
     lib = _load()
     if lib is None or size is None:
         return None
@@ -132,5 +168,9 @@ def native_decode_resize(data: bytes, size: int | None):
         return None  # let the caller's PIL fallback try (e.g. GIF)
     if img.shape[:2] == (size, size):
         return img
-    out = native_resize_batch(img[None], size, size, threads=1)
-    return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    if img.shape[0] >= size and img.shape[1] >= size:
+        # fixed-point kernel is fuzz-proven bit-exact vs cv2.resize for
+        # non-enlarging resizes; OpenCV 5.0 changed the 8U *upscale*
+        # arithmetic, so tiny images take the cv2 path to stay identical.
+        return native_resize_u8(img[None], size, size, threads=1)[0]
+    return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)

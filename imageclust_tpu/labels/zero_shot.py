@@ -59,7 +59,9 @@ class ZeroShotLabeler:
         if embedder is None:
             raise ValueError("zero_shot labeler needs an embedder")
         if bank_path and os.path.exists(bank_path):
-            data = np.load(bank_path, allow_pickle=True)
+            # allow_pickle stays False: `imageclust bank` writes plain
+            # string/float arrays, and a tampered npz must not execute code.
+            data = np.load(bank_path, allow_pickle=False)
             names = [str(n) for n in data["names"]]
             return cls(names, np.asarray(data["vectors"], np.float32), embedder)
         # Deterministic demo bank: stable pseudo-prototypes in embed space.

@@ -234,6 +234,10 @@ def read_onnx_graph(path: str) -> list[dict[str, Any]]:
 # ---------------------------------------------------------------------------
 
 def _varint(v: int) -> bytes:
+    if v < 0:
+        # protobuf encodes negative int64 as a 10-byte two's-complement
+        # varint; without this, `v >>= 7` never terminates for v < 0.
+        v &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = v & 0x7F

@@ -107,6 +107,132 @@ void resize_one(const uint8_t* src, int in_h, int in_w, int channels,
   }
 }
 
+// --- OpenCV uint8 fixed-point INTER_LINEAR resize ------------------------
+//
+// The float path above matches OpenCV's float semantics; OpenCV's *uint8*
+// path is different arithmetic: 11-bit fixed-point coefficients
+// (INTER_RESIZE_COEF_SCALE = 2048), int32 horizontal accumulation, and the
+// 8u vertical specialization
+//   dst = (((b0*(S0>>4)) >> 16) + ((b1*(S1>>4)) >> 16) + 2) >> 2.
+// Replicating it bit-for-bit keeps decoded pixels identical whether this
+// library loads or the cv2.resize fallback runs (ADVICE r1: ingest numerics
+// must not be environment-dependent). Fuzz-proven bit-exact against
+// cv2.resize (OpenCV 5.0) for all NON-ENLARGING resizes; OpenCV 5.0 changed
+// the 8U upscale arithmetic, so callers route enlargements to cv2 itself
+// (imageclust_tpu/data/native.py:native_decode_resize).
+
+constexpr int kCoefBits = 11;
+constexpr int kCoefScale = 1 << kCoefBits;  // 2048
+
+// round-half-to-even, like OpenCV's cvRound
+inline int cv_round(double v) {
+  return static_cast<int>(std::nearbyint(v));
+}
+
+struct FixedTaps {
+  std::vector<int> ofs;        // lo tap index (element units)
+  std::vector<short> a0, a1;   // fixed-point weights of lo/hi taps
+  int max2 = 0;                // dx < max2 -> two taps; else single tap
+};
+
+FixedTaps make_fixed_taps(int in_size, int out_size) {
+  FixedTaps t;
+  t.ofs.resize(out_size);
+  t.a0.resize(out_size);
+  t.a1.resize(out_size);
+  const double scale = static_cast<double>(in_size) / out_size;
+  t.max2 = out_size;
+  for (int dx = 0; dx < out_size; ++dx) {
+    // OpenCV narrows the source coordinate to float before splitting it
+    // into (sx, fx) — replicate exactly or coefficients round differently.
+    float fx = static_cast<float>((dx + 0.5) * scale - 0.5);
+    int sx = static_cast<int>(std::floor(fx));
+    fx -= sx;
+    if (sx < 0) {
+      sx = 0;
+      fx = 0;
+    }
+    if (sx >= in_size - 1) {
+      // single-tap region: clamp to the last pixel, full weight
+      sx = in_size - 1;
+      t.max2 = std::min(t.max2, dx);
+      t.ofs[dx] = sx;
+      t.a0[dx] = kCoefScale;
+      t.a1[dx] = 0;
+      continue;
+    }
+    t.ofs[dx] = sx;
+    t.a0[dx] = static_cast<short>(cv_round((1.0f - fx) * kCoefScale));
+    t.a1[dx] = static_cast<short>(cv_round(fx * kCoefScale));
+  }
+  return t;
+}
+
+// Horizontal pass for one source row: uint8 -> int32 (coef-scaled).
+void hresize_fixed(const uint8_t* r, int channels, int out_w,
+                   const FixedTaps& tx, int* out) {
+  for (int ox = 0; ox < tx.max2; ++ox) {
+    const int x0 = tx.ofs[ox] * channels;
+    const int a0 = tx.a0[ox], a1 = tx.a1[ox];
+    for (int c = 0; c < channels; ++c) {
+      out[ox * channels + c] =
+          r[x0 + c] * a0 + r[x0 + channels + c] * a1;
+    }
+  }
+  for (int ox = tx.max2; ox < out_w; ++ox) {
+    const int x0 = tx.ofs[ox] * channels;
+    for (int c = 0; c < channels; ++c) {
+      out[ox * channels + c] = r[x0 + c] * kCoefScale;
+    }
+  }
+}
+
+void resize_one_u8(const uint8_t* src, int in_h, int in_w, int channels,
+                   uint8_t* dst, int out_h, int out_w, const FixedTaps& ty,
+                   const FixedTaps& tx) {
+  const int row_len = out_w * channels;
+  std::vector<int> cache(2 * static_cast<size_t>(row_len));
+  int cached_rows[2] = {-1, -1};
+
+  auto load_row = [&](int sy, int slot) {
+    hresize_fixed(src + static_cast<size_t>(sy) * in_w * channels, channels,
+                  out_w, tx, cache.data() + static_cast<size_t>(slot) * row_len);
+    cached_rows[slot] = sy;
+  };
+
+  for (int oy = 0; oy < out_h; ++oy) {
+    const int y0 = ty.ofs[oy];
+    const int y1 = std::min(y0 + 1, in_h - 1);
+    const int b0 = ty.a0[oy], b1 = ty.a1[oy];
+    if (cached_rows[0] != y0) {
+      if (cached_rows[1] == y0) {
+        std::swap(cached_rows[0], cached_rows[1]);
+        for (int i = 0; i < row_len; ++i)
+          std::swap(cache[i], cache[row_len + i]);
+      } else {
+        load_row(y0, 0);
+      }
+    }
+    if (cached_rows[1] != y1) {
+      if (y1 == y0) {
+        cached_rows[1] = y1;
+        std::memcpy(cache.data() + row_len, cache.data(),
+                    sizeof(int) * row_len);
+      } else {
+        load_row(y1, 1);
+      }
+    }
+    const int* S0 = cache.data();
+    const int* S1 = cache.data() + row_len;
+    uint8_t* out_row = dst + static_cast<size_t>(oy) * row_len;
+    for (int i = 0; i < row_len; ++i) {
+      out_row[i] = static_cast<uint8_t>(
+          (((b0 * (S0[i] >> 4)) >> 16) + ((b1 * (S1[i] >> 4)) >> 16) + 2) >>
+          2);
+    }
+  }
+}
+
 void parallel_for(int n, int threads, const std::function<void(int)>& fn) {
   if (threads <= 1 || n <= 1) {
     for (int i = 0; i < n; ++i) fn(i);
@@ -175,6 +301,21 @@ void ic_preprocess_blob(const uint8_t* src, int n, int in_h, int in_w,
   });
 }
 
+// Resize a batch of same-shaped HWC uint8 images to (out_h, out_w) uint8,
+// bit-exact with cv2.resize(..., INTER_LINEAR) on uint8 input.
+void ic_resize_batch_u8(const uint8_t* src, int n, int in_h, int in_w,
+                        int channels, uint8_t* dst, int out_h, int out_w,
+                        int threads) {
+  const FixedTaps ty = make_fixed_taps(in_h, out_h);
+  const FixedTaps tx = make_fixed_taps(in_w, out_w);
+  const size_t in_stride = static_cast<size_t>(in_h) * in_w * channels;
+  const size_t out_stride = static_cast<size_t>(out_h) * out_w * channels;
+  parallel_for(n, threads, [&](int i) {
+    resize_one_u8(src + i * in_stride, in_h, in_w, channels,
+                  dst + i * out_stride, out_h, out_w, ty, tx);
+  });
+}
+
 // FNV-1a 64-bit content hash — key for the content-addressed caches
 // (replaces the reference's collision-prone filename keys,
 // rekognition.go:127-131).
@@ -187,6 +328,6 @@ uint64_t ic_content_hash(const uint8_t* data, uint64_t len) {
   return h;
 }
 
-int ic_version() { return 1; }
+int ic_version() { return 2; }
 
 }  // extern "C"

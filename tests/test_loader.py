@@ -67,3 +67,47 @@ class TestLoadDir:
         names, batch = load_image_dir(str(tmp_path), size=16)
         assert names == ["a.png", "b.png", "c.webp"]
         assert batch.shape == (3, 16, 16, 3)
+
+
+class TestNativeResizeParity:
+    """ADVICE r1: decoded pixels must be identical whether libicnative.so
+    loads or the pure cv2 fallback runs — otherwise embeddings and
+    content-hash cache keys become environment-dependent."""
+
+    def _native(self):
+        from imageclust_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native lib not built (make -C native)")
+        return native
+
+    def test_u8_downscale_bit_exact_vs_cv2(self):
+        import cv2
+
+        native = self._native()
+        rng = np.random.default_rng(42)
+        for _ in range(50):
+            oh, ow = int(rng.integers(1, 128)), int(rng.integers(1, 128))
+            h, w = int(rng.integers(oh, oh + 300)), int(rng.integers(ow, ow + 300))
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_LINEAR)
+            got = native.native_resize_u8(img[None], oh, ow, threads=2)[0]
+            np.testing.assert_array_equal(ref, got, err_msg=f"{(h, w)}->{(oh, ow)}")
+
+    def test_decode_resize_matches_fallback_exactly(self):
+        import cv2
+
+        native = self._native()
+        rng = np.random.default_rng(7)
+        # downscale (the production case) and upscale (tiny images; routed
+        # to cv2 inside native_decode_resize because OpenCV 5.0 changed the
+        # 8U upscale arithmetic). The reference fallback is computed inline
+        # (cv2.imdecode + cv2.resize) — decode_images would itself take the
+        # native path here.
+        for h, w in [(480, 640), (250, 300), (100, 60), (9, 13)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            data = encode_png(img)
+            got = native.native_decode_resize(data, 224)
+            ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+            ref = cv2.resize(ref, (224, 224), interpolation=cv2.INTER_LINEAR)
+            np.testing.assert_array_equal(ref, got, err_msg=f"{(h, w)}")

@@ -92,3 +92,14 @@ class TestRoundTrip:
         export_resnet50_onnx(variables, path)
         inits = set(read_onnx_initializers(path))
         assert inits == set(_gluon_name_map())
+
+
+def test_varint_negative_terminates():
+    """ADVICE r1: _varint(v<0) used to infinite-loop; protobuf negative int64
+    is a 10-byte two's-complement varint."""
+    from imageclust_tpu.models.onnx_io import _read_varint, _varint
+
+    enc = _varint(-1)
+    assert len(enc) == 10
+    val, _ = _read_varint(enc, 0)
+    assert val == (1 << 64) - 1  # two's complement of -1
