@@ -77,25 +77,37 @@ def cmd_run(args) -> int:
               file=sys.stderr)
         return 2
 
-    uploads = []
+    paths = []
     for name in sorted(os.listdir(args.images)):
         path = os.path.join(args.images, name)
         if os.path.isfile(path) and name.lower().endswith(
             (".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp")
         ):
-            with open(path, "rb") as fh:
-                uploads.append(UploadedImage(name, fh.read()))
-    if not uploads:
+            paths.append(path)
+    if not paths:
         print("error: no images found", file=sys.stderr)
         return 2
 
     work_dir = args.out or os.path.join(args.images, ".imageclust")
     os.makedirs(work_dir, exist_ok=True)
     pipeline = Pipeline(config)
-    result = pipeline.run(
-        uploads, work_dir, min_size=args.min, max_size=args.max,
-        profile_dir=args.profile or None,
-    )
+    stream = args.stream or len(paths) > config.cluster.exact_limit
+    if stream:
+        # big directories stream from disk with bounded RSS — never load
+        # every file (or a (N,224,224,3) pixel array) into host memory
+        result = pipeline.run_paths(
+            paths, work_dir, min_size=args.min, max_size=args.max,
+            profile_dir=args.profile or None,
+        )
+    else:
+        uploads = []
+        for path in paths:
+            with open(path, "rb") as fh:
+                uploads.append(UploadedImage(os.path.basename(path), fh.read()))
+        result = pipeline.run(
+            uploads, work_dir, min_size=args.min, max_size=args.max,
+            profile_dir=args.profile or None,
+        )
     print(json.dumps(result.to_dict(), indent=2))
     print(f"report: {result.html_path}", file=sys.stderr)
     return 0
@@ -217,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--out", default="", help="work/output dir")
     p_run.add_argument("--profile", default="",
                        help="jax.profiler trace output dir")
+    p_run.add_argument("--stream", action="store_true",
+                       help="stream ingest from disk with bounded memory "
+                            "(automatic above cluster.exact_limit images)")
     _add_common(p_run)
     p_run.set_defaults(fn=cmd_run)
 

@@ -19,7 +19,13 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-__all__ = ["sanitize_filename", "decode_images", "load_image_dir", "DecodeError"]
+__all__ = [
+    "sanitize_filename",
+    "decode_images",
+    "load_image_dir",
+    "stream_decode",
+    "DecodeError",
+]
 
 _IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp")
 
@@ -91,6 +97,77 @@ def decode_images(
     if len(shapes) > 1:
         raise DecodeError(f"inconsistent decoded shapes: {shapes}")
     return np.stack(imgs)
+
+
+def stream_decode(
+    sources,
+    size: int,
+    batch: int,
+    workers: int = 8,
+    prefetch: int = 2,
+):
+    """Bounded-memory chunked ingest: yield ``(start, blobs, images)`` where
+    ``blobs`` is the list of raw bytes and ``images`` a (b, size, size, 3)
+    uint8 batch, for consecutive slices of ``sources`` of length ``batch``
+    (the tail may be shorter).
+
+    ``sources`` items are raw ``bytes`` or filesystem paths (read lazily, so
+    a 100k-file job never holds more than ``prefetch+1`` chunks of bytes or
+    pixels in RSS — the reference materializes nothing because it streams one
+    image at a time through cgo, embeddings.go:119-163; this is the batched
+    equivalent). A background producer thread reads+decodes ahead of the
+    consumer, so host decode overlaps the device forward pass the caller
+    dispatches (JAX dispatch is async).
+    """
+    import queue
+    import threading
+
+    n = len(sources)
+    if n == 0:
+        return
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+
+    def produce():
+        try:
+            with ThreadPoolExecutor(
+                max_workers=max(1, min(workers, os.cpu_count() or 1))
+            ) as pool:
+                for start in range(0, n, batch):
+                    if stop.is_set():
+                        return
+                    chunk = sources[start:start + batch]
+                    blobs = [
+                        s if isinstance(s, (bytes, bytearray))
+                        else _read_file(s)
+                        for s in chunk
+                    ]
+                    imgs = list(pool.map(lambda b: _decode_one(b, size), blobs))
+                    q.put((start, blobs, np.stack(imgs)))
+            q.put(None)
+        except BaseException as exc:  # surface in the consumer
+            q.put(exc)
+
+    t = threading.Thread(target=produce, name="ingest-decode", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so the producer can exit promptly if the consumer bailed
+        while not q.empty():
+            q.get_nowait()
+
+
+def _read_file(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return fh.read()
 
 
 def load_image_dir(path: str, size: int | None = 224, workers: int = 8):

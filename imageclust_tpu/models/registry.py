@@ -167,6 +167,38 @@ class Embedder:
         into the device-resident clustering path without a host round trip."""
         return jnp.concatenate(self._embed_chunks(images))
 
+    def embed_stream(self, chunks) -> jax.Array:
+        """Embed an iterable of uint8 (b, S, S, 3) chunks (S = input size,
+        b <= batch_size) and return float32 (N, dim) RESIDENT IN HBM.
+
+        Each chunk is padded to one compiled batch shape and dispatched
+        asynchronously, so while the device runs chunk k the producer (e.g.
+        :func:`imageclust_tpu.data.loader.stream_decode`) decodes chunk k+1 —
+        the double-buffered ingest the all-at-once path can't do, with RSS
+        bounded by the producer's prefetch depth instead of the job size."""
+        fn = self._embed_fn(resize=False)
+        bs = self.batch_size
+        if self.mesh is not None:
+            ndev = self.mesh.shape["data"]
+            bs = max(ndev, (bs // ndev) * ndev)
+        outs: list[jax.Array] = []
+        expect = (self.spec.input_size, self.spec.input_size, 3)
+        for chunk in chunks:
+            chunk = np.asarray(chunk)
+            if chunk.shape[1:] != expect or chunk.shape[0] > bs:
+                raise ValueError(
+                    f"stream chunk must be (<= {bs}, {expect}), got {chunk.shape}"
+                )
+            c = chunk.shape[0]
+            if c < bs:  # pad to the one compiled shape
+                pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            emb = fn(self.variables, jnp.asarray(chunk))
+            outs.append(emb[:c] if c < bs else emb)
+        if not outs:
+            return jnp.zeros((0, self.spec.dim), jnp.float32)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
     def embed_blob(self, blob: np.ndarray) -> np.ndarray:
         """Embed an already-preprocessed float32 (N, 3, S, S) blob — the
         exact tensor the reference feeds its DNN (embeddings.go:103)."""

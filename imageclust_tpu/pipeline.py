@@ -32,7 +32,11 @@ import numpy as np
 
 from imageclust_tpu.cluster import constrained_ward, constrained_ward_bucketed
 from imageclust_tpu.config import AppConfig
-from imageclust_tpu.data.loader import decode_images, sanitize_filename
+from imageclust_tpu.data.loader import (
+    _read_file,
+    decode_images,
+    sanitize_filename,
+)
 from imageclust_tpu.labels import (
     build_label_set,
     combine_embeddings,
@@ -111,10 +115,126 @@ class Pipeline:
             with timer.stage("ingest"):
                 names, blobs = self._save_uploads(uploads, image_dir)
                 item_ids = [f"img_{i}" for i in range(len(names))]  # workflow.go:140
+            return self._run_core(
+                names, blobs, item_ids, work_dir, cache_dir,
+                min_size, max_size, metrics, timer, image_route,
+            )
 
-            # zero-shot labels come FROM the batch embeddings (computed
-            # below) instead of a per-image forward pass per label query
-            zero_shot_batched = cfg.labels.backend == "zero_shot"
+    def run_paths(
+        self,
+        paths: list[str],
+        work_dir: str,
+        min_size: int | None = None,
+        max_size: int | None = None,
+        profile_dir: str | None = None,
+        image_route: str = "/api/image/",
+    ) -> PipelineResult:
+        """Run over images already on disk WITHOUT loading them all into
+        memory: file reads, decode, and the device forward are streamed in
+        bounded chunks (big jobs), so a 100k-image directory never
+        materializes a 15 GB pixel array the way the upload path's
+        save-then-batch flow would. Images are not copied into the work dir;
+        report entries use the (sanitized, deduplicated) basenames."""
+        cfg = self.config
+        min_size = cfg.cluster.min_size if min_size is None else min_size
+        max_size = cfg.cluster.max_size if max_size is None else max_size
+        if not paths:
+            raise ValueError("no images supplied")
+        if min_size < 1 or max_size < min_size:
+            raise ValueError(
+                f"invalid cluster size bounds [{min_size}, {max_size}]"
+            )
+
+        metrics = RunMetrics()
+        timer = StageTimer(metrics, profile_dir)
+        metrics.counters["images"] = len(paths)
+        cache_dir = os.path.join(work_dir, "cache")
+        os.makedirs(cache_dir, exist_ok=True)
+
+        names: list[str] = []
+        seen: set[str] = set()
+        for p in paths:
+            name = sanitize_filename(os.path.basename(p)) or "image"
+            if name in seen:
+                stem, dot, ext = name.rpartition(".")
+                base = stem if dot else name
+                suffix = 1
+                while True:
+                    cand = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
+                    if cand not in seen:
+                        name = cand
+                        break
+                    suffix += 1
+            seen.add(name)
+            names.append(name)
+        item_ids = [f"img_{i}" for i in range(len(names))]
+
+        with timer.profiled():
+            return self._run_core(
+                names, list(paths), item_ids, work_dir, cache_dir,
+                min_size, max_size, metrics, timer, image_route,
+            )
+
+    def _run_core(
+        self,
+        names: list[str],
+        sources: list,  # bytes (uploads) or str paths (run_paths)
+        item_ids: list[str],
+        work_dir: str,
+        cache_dir: str,
+        min_size: int,
+        max_size: int,
+        metrics: RunMetrics,
+        timer: StageTimer,
+        image_route: str,
+    ) -> PipelineResult:
+        cfg = self.config
+        # zero-shot labels come FROM the batch embeddings (computed
+        # below) instead of a per-image forward pass per label query
+        zero_shot_batched = cfg.labels.backend == "zero_shot"
+        # Above exact_limit, embeddings stay in HBM all the way through
+        # clustering (no per-image cache — host round trips dominate at
+        # that scale); small jobs use the content-addressed cache.
+        big_job = len(sources) > cfg.cluster.exact_limit
+
+        if big_job:
+            # Streamed ingest: read -> (label) -> decode -> device forward in
+            # bounded chunks; the producer thread decodes chunk k+1 while the
+            # device runs chunk k. RSS stays O(chunk), not O(job) — the
+            # all-at-once path would hold 15 GB of pixels at 100k images.
+            from imageclust_tpu.data.loader import stream_decode
+
+            labeler = None
+            if not zero_shot_batched:
+                labeler = create_labeler(
+                    cfg.labels, cache_dir if cfg.labels.cache else None,
+                    embedder=self.embedder,
+                )
+            per_image_labels: list = []
+
+            def chunk_iter():
+                for _start, chunk_blobs, imgs in stream_decode(
+                    sources,
+                    size=self.embedder.spec.input_size,
+                    batch=self.embedder.batch_size,
+                    workers=cfg.preprocess.decode_workers,
+                ):
+                    if labeler is not None:
+                        per_image_labels.extend(
+                            self._detect_all(labeler, chunk_blobs, cfg.labels)
+                        )
+                    yield imgs
+
+            with timer.stage("embed"):
+                image_emb = self.embedder.embed_stream(chunk_iter())
+            if not zero_shot_batched:
+                label_set = self._label_set(per_image_labels, cfg.labels)
+                metrics.counters["unique_labels"] = len(label_set)
+        else:
+            blobs = [
+                s if isinstance(s, (bytes, bytearray)) else _read_file(s)
+                for s in sources
+            ]
             if not zero_shot_batched:
                 with timer.stage("label"):
                     labeler = create_labeler(
@@ -134,15 +254,8 @@ class Pipeline:
                     workers=cfg.preprocess.decode_workers,
                 )
 
-            # Above exact_limit, embeddings stay in HBM all the way through
-            # clustering (no per-image cache — host round trips dominate at
-            # that scale); small jobs use the content-addressed cache.
-            big_job = len(blobs) > cfg.cluster.exact_limit
-
             with timer.stage("embed"):
-                if big_job:
-                    image_emb = self.embedder.embed_device(batch)
-                elif cfg.embed.cache:
+                if cfg.embed.cache:
                     from imageclust_tpu.utils.checkpoint import EmbeddingCache
 
                     emb_cache = EmbeddingCache(
@@ -156,65 +269,65 @@ class Pipeline:
                 else:
                     image_emb = self.embedder.embed(batch)
 
-            if zero_shot_batched:
-                with timer.stage("label"):
-                    # construction stays with create_labeler (one place for
-                    # bank/config plumbing); the per-image file cache doesn't
-                    # apply to the batched flow — the embedding cache already
-                    # covers the expensive half
-                    zs = create_labeler(cfg.labels, None,
-                                        embedder=self.embedder)
-                    per_image_labels = zs.labels_from_embeddings(
-                        image_emb,  # device array stays on device
-                        cfg.labels.max_labels,
-                        cfg.labels.min_confidence,
-                    )
-                    label_set = self._label_set(per_image_labels, cfg.labels)
-                    metrics.counters["unique_labels"] = len(label_set)
-
-            with timer.stage("fuse"):
-                label_mat = one_hot_matrix(per_image_labels, label_set)
-                if cfg.labels.fusion_weight != 1.0:
-                    label_mat = label_mat * np.float32(cfg.labels.fusion_weight)
-                if big_job:
-                    import jax.numpy as jnp
-
-                    features = image_emb
-                    if label_mat.shape[1]:
-                        features = jnp.concatenate(
-                            [image_emb, jnp.asarray(label_mat)], axis=1
-                        )
-                else:
-                    features = combine_embeddings(image_emb, label_mat)
-
-            with timer.stage("cluster"):
-                if not big_job:
-                    result = constrained_ward(
-                        features, item_ids,
-                        min_size=min_size, max_size=max_size,
-                        update_rule=cfg.cluster.update_rule,
-                        reassign_dropped=cfg.cluster.reassign_dropped,
-                    )
-                else:
-                    result = constrained_ward_bucketed(
-                        features, item_ids,
-                        min_size=min_size, max_size=max_size,
-                        bucket_size=cfg.cluster.bucket_size,
-                        kmeans_iters=cfg.cluster.kmeans_iters,
-                        update_rule=cfg.cluster.scale_update_rule,
-                        mesh=self.mesh,
-                        reassign_dropped=cfg.cluster.reassign_dropped,
-                    )
-                metrics.counters["clusters"] = len(result.cluster_map)
-                metrics.counters["dropped"] = len(result.dropped)
-
-            with timer.stage("name"):
-                details = self._prepare_cluster_details(
-                    result.cluster_map, item_ids, names, per_image_labels
+        if zero_shot_batched:
+            with timer.stage("label"):
+                # construction stays with create_labeler (one place for
+                # bank/config plumbing); the per-image file cache doesn't
+                # apply to the batched flow — the embedding cache already
+                # covers the expensive half
+                zs = create_labeler(cfg.labels, None,
+                                    embedder=self.embedder)
+                per_image_labels = zs.labels_from_embeddings(
+                    image_emb,  # device array stays on device
+                    cfg.labels.max_labels,
+                    cfg.labels.min_confidence,
                 )
+                label_set = self._label_set(per_image_labels, cfg.labels)
+                metrics.counters["unique_labels"] = len(label_set)
 
-            with timer.stage("report"):
-                html_path = write_report(details, work_dir, image_route)
+        with timer.stage("fuse"):
+            label_mat = one_hot_matrix(per_image_labels, label_set)
+            if cfg.labels.fusion_weight != 1.0:
+                label_mat = label_mat * np.float32(cfg.labels.fusion_weight)
+            if big_job:
+                import jax.numpy as jnp
+
+                features = image_emb
+                if label_mat.shape[1]:
+                    features = jnp.concatenate(
+                        [image_emb, jnp.asarray(label_mat)], axis=1
+                    )
+            else:
+                features = combine_embeddings(image_emb, label_mat)
+
+        with timer.stage("cluster"):
+            if not big_job:
+                result = constrained_ward(
+                    features, item_ids,
+                    min_size=min_size, max_size=max_size,
+                    update_rule=cfg.cluster.update_rule,
+                    reassign_dropped=cfg.cluster.reassign_dropped,
+                )
+            else:
+                result = constrained_ward_bucketed(
+                    features, item_ids,
+                    min_size=min_size, max_size=max_size,
+                    bucket_size=cfg.cluster.bucket_size,
+                    kmeans_iters=cfg.cluster.kmeans_iters,
+                    update_rule=cfg.cluster.scale_update_rule,
+                    mesh=self.mesh,
+                    reassign_dropped=cfg.cluster.reassign_dropped,
+                )
+            metrics.counters["clusters"] = len(result.cluster_map)
+            metrics.counters["dropped"] = len(result.dropped)
+
+        with timer.stage("name"):
+            details = self._prepare_cluster_details(
+                result.cluster_map, item_ids, names, per_image_labels
+            )
+
+        with timer.stage("report"):
+            html_path = write_report(details, work_dir, image_route)
 
         id_to_name = dict(zip(item_ids, names))
         dropped_names = [id_to_name[i] for i in result.dropped]

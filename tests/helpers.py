@@ -40,8 +40,23 @@ class MeanColorEmbedder:
         std = (1.0, 1.0, 1.0)
         bgr_input = True
 
+    batch_size = 8
+
     def embed(self, images: np.ndarray) -> np.ndarray:
         images = np.asarray(images, np.float32) / 255.0
         means = images.mean(axis=(1, 2))
         stds = images.std(axis=(1, 2))
         return np.concatenate([means * 10.0, stds], axis=1).astype(np.float32)
+
+    def embed_device(self, images):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.embed(images))
+
+    def embed_stream(self, chunks):
+        import jax.numpy as jnp
+
+        outs = [self.embed(c) for c in chunks]
+        if not outs:
+            return jnp.zeros((0, self.spec.dim), jnp.float32)
+        return jnp.asarray(np.concatenate(outs))

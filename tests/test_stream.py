@@ -1,0 +1,168 @@
+"""Streaming ingest: bounded-memory chunked decode -> device embed.
+
+VERDICT r1 item 2: the production path used to materialize the whole job as
+one (N,224,224,3) host array (15 GB at 100k images); these tests pin the
+replacement — stream_decode chunking/laziness and the pipeline's streamed
+big-job flow producing the same clusters as the all-at-once path.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from imageclust_tpu.config import AppConfig, ClusterConfig, LabelConfig, NamingConfig
+from imageclust_tpu.data.loader import DecodeError, decode_images, stream_decode
+from imageclust_tpu.pipeline import Pipeline
+from imageclust_tpu.types import UploadedImage
+
+from helpers import MeanColorEmbedder, color_group_images, encode_png
+
+
+class TestStreamDecode:
+    def test_chunks_and_order(self, rng):
+        _, blobs = color_group_images(rng, n_groups=2, per_group=5)  # 10
+        got = list(stream_decode(blobs, size=32, batch=4))
+        assert [g[0] for g in got] == [0, 4, 8]
+        assert [g[2].shape for g in got] == [
+            (4, 32, 32, 3), (4, 32, 32, 3), (2, 32, 32, 3)]
+        # identical pixels to the all-at-once path
+        ref = decode_images(blobs, size=32, workers=2)
+        np.testing.assert_array_equal(np.concatenate([g[2] for g in got]), ref)
+        # raw bytes surfaced per chunk (for per-image labelers)
+        assert got[0][1] == blobs[:4]
+
+    def test_paths_read_lazily(self, rng, tmp_path):
+        names, blobs = color_group_images(rng, n_groups=1, per_group=6)
+        paths = []
+        for n, b in zip(names, blobs):
+            p = tmp_path / n
+            p.write_bytes(b)
+            paths.append(str(p))
+        got = list(stream_decode(paths, size=32, batch=4))
+        ref = decode_images(blobs, size=32)
+        np.testing.assert_array_equal(np.concatenate([g[2] for g in got]), ref)
+
+    def test_decode_error_propagates(self):
+        with pytest.raises(DecodeError):
+            list(stream_decode([b"not an image"], size=32, batch=2))
+
+    def test_empty(self):
+        assert list(stream_decode([], size=32, batch=4)) == []
+
+
+class TestEmbedStream:
+    def test_matches_embed(self, rng):
+        """Real Embedder.embed_stream == Embedder.embed on the same pixels
+        (pad/tail handling, single compiled shape)."""
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) + variables["b"]
+
+        emb = Embedder(spec, apply_fn, {"b": jnp.zeros((3,))}, batch_size=4)
+        images = rng.integers(0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        want = emb.embed(images)
+        got = np.asarray(emb.embed_stream(
+            images[i:i + 4] for i in range(0, 11, 4)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_rejects_oversize_chunk(self, rng):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        spec = EmbedderSpec("toy", 8, 3, 1.0, (0.0,) * 3, (1.0,) * 3, True)
+        emb = Embedder(spec, lambda v, x: jnp.mean(x, axis=(1, 2)), {},
+                       batch_size=2)
+        with pytest.raises(ValueError, match="stream chunk"):
+            np.asarray(emb.embed_stream(
+                [np.zeros((5, 8, 8, 3), np.uint8)]))
+
+
+@pytest.fixture()
+def stream_pipeline():
+    cfg = AppConfig(
+        labels=LabelConfig(backend="fake"),
+        naming=NamingConfig(services=("fake",), retries=1),
+        # force the big-job streamed path at 12 images
+        cluster=ClusterConfig(exact_limit=4, bucket_size=16),
+    )
+    return Pipeline(cfg, embedder=MeanColorEmbedder())
+
+
+class TestPipelineStreaming:
+    def _image_dir(self, rng, tmp_path):
+        names, blobs = color_group_images(rng, n_groups=3, per_group=4)
+        src = tmp_path / "imgs"
+        src.mkdir()
+        paths = []
+        for n, b in zip(names, blobs):
+            p = src / n
+            p.write_bytes(b)
+            paths.append(str(p))
+        return names, blobs, paths
+
+    def test_run_paths_streamed_matches_upload_path(
+        self, stream_pipeline, rng, tmp_path
+    ):
+        names, blobs, paths = self._image_dir(rng, tmp_path)
+        work_a = tmp_path / "a"
+        work_b = tmp_path / "b"
+        work_a.mkdir(), work_b.mkdir()
+
+        res_stream = stream_pipeline.run_paths(
+            paths, str(work_a), min_size=3, max_size=6)
+        uploads = [UploadedImage(n, b) for n, b in zip(names, blobs)]
+        res_upload = stream_pipeline.run(
+            uploads, str(work_b), min_size=3, max_size=6)
+
+        got = {frozenset(d.images) for d in res_stream.clusters.values()}
+        want = {frozenset(d.images) for d in res_upload.clusters.values()}
+        assert got == want
+        # per-image labels were produced through the streamed path too
+        for d in res_stream.clusters.values():
+            assert d.labels
+        assert os.path.exists(res_stream.html_path)
+        md = res_stream.metrics.to_dict()
+        assert md["counters"]["images"] == 12
+        assert "embed" in md["stages_s"]
+
+    def test_run_paths_small_job_uses_exact_engine(self, rng, tmp_path):
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+        )
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        _, _, paths = self._image_dir(rng, tmp_path)
+        res = pipe.run_paths(paths, str(tmp_path / "w"), min_size=3, max_size=6)
+        got = {frozenset(d.images) for d in res.clusters.values()}
+        want = {
+            frozenset(f"g{g}_img{i}.png" for i in range(4)) for g in range(3)
+        }
+        assert got == want
+
+    def test_run_paths_dedups_colliding_basenames(self, rng, tmp_path):
+        _, blobs = color_group_images(rng, n_groups=1, per_group=3)
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        paths = []
+        for d, blob in zip((a, b, a), blobs):
+            p = d / ("x.png" if d != a or not paths else "y.png")
+            p.write_bytes(blob)
+            paths.append(str(p))
+        cfg = AppConfig(labels=LabelConfig(backend="fake"),
+                        naming=NamingConfig(services=("fake",), retries=1))
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        res = pipe.run_paths(paths, str(tmp_path / "w"), min_size=3, max_size=6)
+        (details,) = res.clusters.values()
+        assert sorted(details.images) == ["x.png", "x_1.png", "y.png"]
