@@ -143,11 +143,13 @@ def _merge_body(
     update_rule: str,
     use_pallas: bool = False,
     halt: jax.Array | None = None,
+    absorb_min: jax.Array | None = None,
 ) -> _LoopState:
     """One gated merge step. ``halt`` (optional traced bool) folds an outer
     stop condition (e.g. num_active <= target in the fixed-trip bucketed
     loop) into the body's own no-op gate — cheaper than re-gating the whole
-    state in a wrapper."""
+    state in a wrapper. ``absorb_min`` switches the feasibility mask to the
+    absorb phase: only pairs involving a below-min cluster merge."""
     f32 = jnp.float32
     b = state.births
 
@@ -161,13 +163,14 @@ def _merge_body(
         masked_argmin_pair_xla,
     )
 
-    if use_pallas:
+    if use_pallas and absorb_min is None:
         dmin, m1, m2 = masked_argmin_pair(
             state.D, b, state.sizes, state.active, max_size
         )
     else:
         dmin, m1, m2 = masked_argmin_pair_xla(
-            state.D, b, state.sizes, state.active, max_size
+            state.D, b, state.sizes, state.active, max_size,
+            require_under=absorb_min,
         )
     found = jnp.isfinite(dmin)
     proceed = found if halt is None else (found & halt)

@@ -64,8 +64,14 @@ class ClusterConfig:
     kmeans_iters: int = 8
     # Reference parity keeps False: under-min clusters are silently dropped
     # (clustering.go:268-271). True reassigns those images to the nearest
-    # surviving cluster with room instead of losing them.
+    # surviving cluster with room instead of losing them. Applies to the
+    # exact engine (the parity path).
     reassign_dropped: bool = False
+    # The bucketed engine is already a documented approximation of the
+    # reference's merge order, so it defaults to NOT losing images: an
+    # on-device absorb phase merges under-min clusters into their
+    # Ward-nearest neighbor (bounded by max_size) instead of dropping them.
+    scale_reassign_dropped: bool = True
 
 
 @dataclass

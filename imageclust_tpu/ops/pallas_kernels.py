@@ -34,12 +34,21 @@ _STRIPE = 128
 _BIG_I32 = np.int32(2**31 - 1)
 
 
-def masked_argmin_pair_xla(D, births, sizes, active, max_size):
+def masked_argmin_pair_xla(D, births, sizes, active, max_size,
+                           require_under=None):
     """Reference XLA implementation (the formulation inside
-    cluster.ward._merge_body). Returns (dmin f32, bhi i32, blo i32)."""
+    cluster.ward._merge_body). Returns (dmin f32, bhi i32, blo i32).
+
+    With ``require_under`` (an i32 min-size), only pairs where at least one
+    side is below that size are feasible — the bucketed engine's absorb
+    phase, which folds under-min clusters into their Ward-nearest neighbor
+    instead of dropping their images (VERDICT r1 item 4)."""
     n = D.shape[0]
     valid = active[:, None] & active[None, :] & ~jnp.eye(n, dtype=bool)
     feas = (sizes[:, None] + sizes[None, :]) <= max_size
+    if require_under is not None:
+        under = sizes < require_under
+        feas = feas & (under[:, None] | under[None, :])
     ok = valid & feas
     E = jnp.where(ok, D, jnp.inf)
     dmin = jnp.min(E)

@@ -316,7 +316,7 @@ class Pipeline:
                     kmeans_iters=cfg.cluster.kmeans_iters,
                     update_rule=cfg.cluster.scale_update_rule,
                     mesh=self.mesh,
-                    reassign_dropped=cfg.cluster.reassign_dropped,
+                    reassign_dropped=cfg.cluster.scale_reassign_dropped,
                 )
             metrics.counters["clusters"] = len(result.cluster_map)
             metrics.counters["dropped"] = len(result.dropped)

@@ -67,9 +67,19 @@ class TestBucketed:
         res = constrained_ward_bucketed(
             x, ids, min_size=3, max_size=6, bucket_size=1024
         )
+        # the bucketed API's no-loss default carries through the fall-through
         exact = constrained_ward(x, ids, min_size=3, max_size=6,
-                                 update_rule="lance_williams")
+                                 update_rule="lance_williams",
+                                 reassign_dropped=True)
         assert res.cluster_map == exact.cluster_map
+        # and with the parity flag it matches parity-mode exact
+        res_p = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=1024,
+            reassign_dropped=False,
+        )
+        exact_p = constrained_ward(x, ids, min_size=3, max_size=6,
+                                   update_rule="lance_williams")
+        assert res_p.cluster_map == exact_p.cluster_map
 
     def test_infeasible_raises(self, rng):
         x = rng.random((2, 4)).astype(np.float32)
@@ -119,3 +129,48 @@ class TestInitDistributed:
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
         assert init_distributed() is False
+
+
+class TestAbsorbPhase:
+    """VERDICT r1 item 4: the bucketed engine must not lose images. The
+    on-device absorb phase merges under-min clusters into their Ward-nearest
+    neighbor (bounded by max_size) inside the vmapped bucket loop."""
+
+    def test_no_images_dropped(self, rng):
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        # awkward sizes that leave under-min stragglers in greedy Ward
+        x = rng.normal(size=(400, 16)).astype(np.float32)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64)
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 400
+        assert len(res.dropped) == 0
+        # absorb never violates the max bound; min holds for every survivor
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+
+    def test_absorb_off_is_parity_drop(self, rng):
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        x = rng.normal(size=(400, 16)).astype(np.float32)
+        res_off = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64,
+            reassign_dropped=False)
+        res_on = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64,
+            reassign_dropped=True)
+        # absorb recovers at least what parity mode drops
+        assert len(res_on.dropped) <= len(res_off.dropped)
+        placed_on = sum(len(m) for m in res_on.cluster_map.values())
+        assert placed_on + len(res_on.dropped) == 400
+
+    def test_absorb_on_mesh(self, mesh8, rng):
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        x = rng.normal(size=(192, 8)).astype(np.float32)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=32, mesh=mesh8)
+        assert len(res.dropped) == 0
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
