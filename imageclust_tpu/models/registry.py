@@ -64,12 +64,16 @@ class Embedder:
         batch_size: int = 256,
         mesh: Mesh | None = None,
         tag: str = "",
+        raw_apply_fn: Callable[[dict, jax.Array], jax.Array] | None = None,
     ):
         self.spec = spec
         self.batch_size = batch_size
         self.mesh = mesh
         self.tag = tag or spec.name  # identity for the embedding cache
         self._apply_fn = apply_fn
+        # fast path taking RAW uint8 NHWC at input_size (normalization and
+        # layout folded into the model, e.g. the ResNet s2d stem)
+        self._raw_apply_fn = raw_apply_fn
         if mesh is not None:
             variables = jax.device_put(
                 variables, NamedSharding(mesh, P())
@@ -88,6 +92,8 @@ class Embedder:
         def fn(variables, images_u8):
             # NHWC end to end: the towers are NHWC-native internally, so
             # emitting CHW here would just add two full-batch layout passes
+            if not resize and self._raw_apply_fn is not None:
+                return self._raw_apply_fn(variables, images_u8)
             if resize:
                 x = preprocess_batch(
                     images_u8,
@@ -167,7 +173,7 @@ class Embedder:
         into the device-resident clustering path without a host round trip."""
         return jnp.concatenate(self._embed_chunks(images))
 
-    def embed_stream(self, chunks) -> jax.Array:
+    def embed_stream(self, chunks, inflight: int = 4) -> jax.Array:
         """Embed an iterable of uint8 (b, S, S, 3) chunks (S = input size,
         b <= batch_size) and return float32 (N, dim) RESIDENT IN HBM.
 
@@ -175,7 +181,13 @@ class Embedder:
         asynchronously, so while the device runs chunk k the producer (e.g.
         :func:`imageclust_tpu.data.loader.stream_decode`) decodes chunk k+1 —
         the double-buffered ingest the all-at-once path can't do, with RSS
-        bounded by the producer's prefetch depth instead of the job size."""
+        bounded by the producer's prefetch depth instead of the job size.
+
+        ``inflight`` caps the number of un-synced dispatches: without it,
+        async dispatch lets the host queue transfer staging buffers faster
+        than a slow host->device link drains them and RSS grows with the
+        job (observed: 16 GB at 100k images through the axon tunnel). Every
+        ``inflight`` chunks one scalar is pulled to force completion."""
         fn = self._embed_fn(resize=False)
         bs = self.batch_size
         if self.mesh is not None:
@@ -195,6 +207,8 @@ class Embedder:
                 chunk = np.concatenate([chunk, pad])
             emb = fn(self.variables, jnp.asarray(chunk))
             outs.append(emb[:c] if c < bs else emb)
+            if inflight and len(outs) % inflight == 0:
+                np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
         if not outs:
             return jnp.zeros((0, self.spec.dim), jnp.float32)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
@@ -240,6 +254,17 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
         logits, feats = model.apply(vars_, x, return_features=True)
         return feats if pooled else logits
 
+    raw_apply_fn = None
+    if cfg.s2d_stem:
+        # same variables, faster stem: raw uint8 in, s2d + folded scale/flip
+        raw_model = ResNet50V1(dtype=dtype, norm_dtype=norm_dtype,
+                               num_classes=cfg.num_classes,
+                               stem_mode="s2d_raw")
+
+        def raw_apply_fn(vars_, u8):
+            logits, feats = raw_model.apply(vars_, u8, return_features=True)
+            return feats if pooled else logits
+
     spec = EmbedderSpec(
         name="resnet50",
         input_size=224,
@@ -249,7 +274,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
         std=(1.0, 1.0, 1.0),
         bgr_input=True,
     )
-    return spec, apply_fn, variables
+    return spec, apply_fn, variables, raw_apply_fn
 
 
 def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
@@ -322,11 +347,12 @@ def create_embedder(
     seed: int = 0,
 ) -> Embedder:
     cfg = cfg or EmbedConfig()
+    raw_apply_fn = None
     if cfg.model == "resnet50":
-        spec, apply_fn, variables = _build_resnet50(cfg, seed)
+        spec, apply_fn, variables, raw_apply_fn = _build_resnet50(cfg, seed)
     elif cfg.model in list_models():
         spec, apply_fn, variables = _build_vit(cfg.model, cfg, seed)
     else:
         raise ValueError(f"unknown model {cfg.model!r}; know {list_models()}")
     return Embedder(spec, apply_fn, variables, cfg.batch_size, mesh,
-                    tag=_weights_tag(cfg, seed))
+                    tag=_weights_tag(cfg, seed), raw_apply_fn=raw_apply_fn)

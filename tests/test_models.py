@@ -257,3 +257,83 @@ class TestClipTorchIngestion:
                 {"vision_model.embeddings.patch_embedding.weight":
                  np.zeros((9, 9), np.float32)}, cfg, dict(variables)
             )
+
+
+class TestInferenceTransforms:
+    """fold_bn_variables and the s2d_raw stem are exact-math rewrites of the
+    standard model — same variables tree, same outputs (up to f32 reduction
+    order)."""
+
+    def _model_and_vars(self, **kw):
+        import jax
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.resnet50 import ResNet50V1
+
+        m = ResNet50V1(dtype=jnp.float32, **kw)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 224, 224)))
+        return m, v
+
+    def test_fold_bn_matches_unfolded(self):
+        import jax
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.resnet50 import (
+            ResNet50V1, fold_bn_variables)
+
+        m, v = self._model_and_vars()
+        # non-trivial running stats so the fold actually moves numbers
+        v = jax.tree_util.tree_map(
+            lambda a: a + 0.05 if a.ndim == 1 else a, v)
+        mf = ResNet50V1(dtype=jnp.float32, fold_bn=True)
+        vf = fold_bn_variables(v)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 224, 224))
+        a = m.apply(v, x)
+        b = mf.apply(vf, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_fold_bn_rejects_train(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from imageclust_tpu.models.resnet50 import ResNet50V1
+
+        m, v = self._model_and_vars()
+        mf = ResNet50V1(dtype=jnp.float32, fold_bn=True)
+        with _pytest.raises(ValueError, match="inference"):
+            mf.apply(v, np.zeros((1, 3, 224, 224), np.float32), train=True)
+
+    def test_s2d_stem_matches_standard(self):
+        import jax
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.resnet50 import ResNet50V1
+
+        m, v = self._model_and_vars()
+        ms = ResNet50V1(dtype=jnp.float32, stem_mode="s2d_raw")
+        # identical param tree: the s2d stem reuses params/conv0/kernel
+        assert (jax.tree_util.tree_structure(ms.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3), jnp.uint8)))
+            == jax.tree_util.tree_structure(v))
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (2, 224, 224, 3), dtype=np.uint8)
+        # standard path: reference preprocessing (BGR->RGB, 1/255)
+        xf = u8[..., ::-1].astype(np.float32) / 255.0
+        a = m.apply(v, jnp.asarray(xf))
+        b = ms.apply(v, jnp.asarray(u8))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_embedder_s2d_matches_plain(self):
+        from imageclust_tpu.config import EmbedConfig
+        from imageclust_tpu.models.registry import create_embedder
+
+        rng = np.random.default_rng(1)
+        u8 = rng.integers(0, 256, (3, 224, 224, 3), dtype=np.uint8)
+        base = dict(model="resnet50", dtype="float32", norm_dtype="float32",
+                    batch_size=4)
+        e_fast = create_embedder(EmbedConfig(**base, s2d_stem=True))
+        e_ref = create_embedder(EmbedConfig(**base, s2d_stem=False))
+        np.testing.assert_allclose(e_fast.embed(u8), e_ref.embed(u8),
+                                   rtol=1e-4, atol=1e-4)
