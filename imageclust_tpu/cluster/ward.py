@@ -237,20 +237,16 @@ def _merge_loop_impl(
     n_target: jax.Array,  # i32
     max_size: jax.Array,  # i32
     update_rule: str = "centroid",
-    row_sharding=None,  # NamedSharding for D's rows (multi-chip exact mode)
 ):
-    """Run the full constrained merge loop on device; returns the merge log."""
+    """Run the full constrained merge loop on device; returns the merge log.
+    Single-device path; the multi-chip exact mode is the explicit shard_map
+    program in :func:`_sharded_merge_loop`."""
     n_pad, _ = x.shape
     f32 = jnp.float32
     idx = jnp.arange(n_pad, dtype=jnp.int32)
     active0 = idx < n_items
 
     D0 = pairwise_ward_singleton(x.astype(f32))
-    if row_sharding is not None:
-        # multi-chip exact mode: the n x n matrix lives row-sharded across
-        # the mesh's 'data' axis; the masked argmin's global reduction
-        # becomes an XLA allreduce-min over per-shard partials (SURVEY.md §5)
-        D0 = jax.lax.with_sharding_constraint(D0, row_sharding)
     state = _LoopState(
         D=D0,
         sizes=jnp.where(active0, 1, 0).astype(jnp.int32),
@@ -288,31 +284,163 @@ def _merge_loop_impl(
 
 
 _merge_loop = partial(jax.jit, static_argnames=("update_rule",))(
-    partial(_merge_loop_impl, row_sharding=None)
+    _merge_loop_impl
 )
 
 _SHARDED_LOOPS: dict = {}
 
 
 def _sharded_merge_loop(mesh, update_rule: str):
-    """Per-mesh jitted exact merge loop with D row-sharded over 'data'."""
+    """Per-mesh jitted exact merge loop, D row-sharded over 'data' via
+    shard_map.
+
+    Round-1 shipped this as a ``with_sharding_constraint`` on D0 and hoped
+    XLA would keep the sharding through the ``while_loop`` — HLO inspection
+    showed it instead ALL-GATHERED the full n x n matrix every merge. This
+    version writes the distribution explicitly (SURVEY.md §5 "sequence
+    parallel" analog):
+
+    * each device owns a (n/D, n) row block of the Ward matrix; the initial
+      block is computed locally (one (n/D, d) x (d, n) MXU matmul),
+    * the feasible-pair argmin reduces locally per block, then globally with
+      three scalar ``pmin``s (min distance, then the Go tie-break pair),
+    * the Lance-Williams / centroid row update is LOCAL thanks to symmetry:
+      D[sa, j] = D[j, sa] lives in the j-owner's block as a column read;
+      each device rewrites its column sa, and the one device owning row sa
+      rewrites it from a single (n,) all_gather of the new values —
+      per-merge communication is O(n) bytes + 3 scalars, never O(n^2).
+
+    Small replicated state (sizes, births, active, merge log) is updated
+    identically on every device. Exact same semantics (tie-breaks included)
+    as the single-device loop; enables exact-mode n where one chip's HBM
+    cannot hold the n^2 matrix (n=100k needs 40 GB; 5 GB/chip on v5e-8).
+    """
+    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     key = (mesh, update_rule)  # Mesh is hashable; id() could alias after GC
-    if key not in _SHARDED_LOOPS:
-        rows = NamedSharding(mesh, P("data", None))
+    if key in _SHARDED_LOOPS:
+        return _SHARDED_LOOPS[key]
 
-        def fn(x, n_items, n_target, max_size):
-            return _merge_loop_impl(
-                x, n_items, n_target, max_size,
-                update_rule=update_rule, row_sharding=rows,
+    ndev = mesh.shape["data"]
+    f32 = jnp.float32
+
+    def local_body(x_full, n_items, n_target, max_size):
+        # Runs per device under shard_map: x_full replicated (n_pad, d).
+        n_pad = x_full.shape[0]
+        rows_per = n_pad // ndev
+        my = jax.lax.axis_index("data")
+        row0 = my * rows_per
+        my_gids = row0 + jnp.arange(rows_per, dtype=jnp.int32)
+
+        # local row block of the singleton Ward matrix (one MXU matmul)
+        xs = jax.lax.dynamic_slice_in_dim(x_full, row0, rows_per, 0)
+        sq_r = jnp.sum(xs * xs, axis=1)
+        sq_c = jnp.sum(x_full * x_full, axis=1)
+        gram = jax.lax.dot_general(
+            xs, x_full, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+        Dl = 0.5 * jnp.maximum(sq_r[:, None] + sq_c[None, :] - 2.0 * gram, 0.0)
+
+        idx = jnp.arange(n_pad, dtype=jnp.int32)
+        active0 = idx < n_items
+        births0 = jnp.where(active0, idx, _BIG_I32 - n_pad + idx)
+        sizes0 = jnp.where(active0, 1, 0).astype(jnp.int32)
+        log0 = jnp.zeros((max(n_pad - 1, 1), 3), jnp.int32)
+
+        def body(carry):
+            (Dl, sizes, births, cents, active, counter, num_active, log,
+             step, _found) = carry
+            act_r = active[my_gids]
+            act_c = active
+            sizes_r = sizes[my_gids]
+            ok = (act_r[:, None] & act_c[None, :]
+                  & (my_gids[:, None] != idx[None, :]))
+            ok &= (sizes_r[:, None] + sizes[None, :]) <= max_size
+            E = jnp.where(ok, Dl, jnp.inf)
+            gdmin = jax.lax.pmin(jnp.min(E), "data")
+            tie = ok & (E == gdmin)
+            b_r = births[my_gids]
+            bhi = jnp.maximum(b_r[:, None], births[None, :])
+            blo = jnp.minimum(b_r[:, None], births[None, :])
+            m1 = jax.lax.pmin(jnp.min(jnp.where(tie, bhi, _BIG_I32)), "data")
+            m2 = jax.lax.pmin(
+                jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32)), "data")
+            found = jnp.isfinite(gdmin)
+
+            sa = jnp.argmax(births == m1).astype(jnp.int32)
+            sb = jnp.argmax(births == m2).astype(jnp.int32)
+            s_a = sizes[sa]
+            s_b = sizes[sb]
+            s_new = s_a + s_b
+            sizes_f = sizes.astype(f32)
+            s_new_f = s_new.astype(f32)
+            c_new = (s_a.astype(f32) * cents[sa]
+                     + s_b.astype(f32) * cents[sb]) / s_new_f
+
+            if update_rule == "centroid":
+                # my slice of the new row, from replicated centroids
+                diff = cents[my_gids] - c_new[None, :]
+                sqd = jnp.sum(diff * diff, axis=1)
+                dvec_l = (s_new_f * sizes_f[my_gids]
+                          / (s_new_f + sizes_f[my_gids])) * sqd
+            else:  # lance_williams — all reads local by symmetry
+                col_a = Dl[:, sa]
+                col_b = Dl[:, sb]
+                d_ab = jax.lax.psum(
+                    jnp.sum(jnp.where(my_gids == sa, col_b, 0.0)), "data")
+                sz_l = sizes_f[my_gids]
+                dvec_l = ((s_a.astype(f32) + sz_l) * col_a
+                          + (s_b.astype(f32) + sz_l) * col_b
+                          - sz_l * d_ab) / (s_new_f + sz_l)
+            dvec_l = jnp.where(my_gids == sa, 0.0, dvec_l)
+
+            # column write (local) + row write (owner, from one (n,) gather)
+            dvec_full = jax.lax.all_gather(dvec_l, "data").reshape(n_pad)
+            Dl_new = Dl.at[:, sa].set(dvec_l)
+            Dl_new = jnp.where((my_gids == sa)[:, None],
+                               dvec_full[None, :], Dl_new)
+
+            new_birth = counter
+            sizes_n = sizes.at[sa].set(s_new).at[sb].set(0)
+            births_n = births.at[sa].set(new_birth)
+            cents_n = cents.at[sa].set(c_new)
+            active_n = active.at[sb].set(False)
+            log_n = log.at[step].set(jnp.stack([m1, m2, new_birth]))
+
+            gate = lambda new, old: jnp.where(found, new, old)
+            return (
+                gate(Dl_new, Dl),
+                gate(sizes_n, sizes),
+                gate(births_n, births),
+                gate(cents_n, cents),
+                gate(active_n, active),
+                gate(counter + 1, counter),
+                gate(num_active - 1, num_active),
+                gate(log_n, log),
+                gate(step + 1, step),
+                found,
             )
 
-        _SHARDED_LOOPS[key] = jax.jit(
-            fn,
-            in_shardings=(rows, None, None, None),
-            out_shardings=None,
-        )
+        def cond(carry):
+            return carry[9] & (carry[6] > n_target)
+
+        init = (Dl, sizes0, births0, x_full.astype(f32), active0,
+                n_items.astype(jnp.int32), n_items.astype(jnp.int32),
+                log0, jnp.int32(0), jnp.bool_(True))
+        out = jax.lax.while_loop(cond, body, init)
+        return out[7], out[8], out[2], out[1], out[4]
+
+    P_rep = P()
+    fn = shard_map(
+        local_body, mesh=mesh,
+        in_specs=(P_rep, P_rep, P_rep, P_rep),
+        out_specs=(P_rep, P_rep, P_rep, P_rep, P_rep),
+        check_rep=False,
+    )
+    _SHARDED_LOOPS[key] = jax.jit(fn)
     return _SHARDED_LOOPS[key]
 
 
@@ -345,6 +473,9 @@ def _run_merges(
     order (birth order) plus the merge log."""
     n = x.shape[0]
     n_pad = _pad_len(n)
+    if mesh is not None:
+        ndev = mesh.shape["data"]
+        n_pad = int(math.ceil(n_pad / (128 * ndev))) * 128 * ndev
     xp = np.zeros((n_pad, x.shape[1]), np.float32)
     xp[:n] = x
     if mesh is not None:

@@ -174,3 +174,43 @@ class TestAbsorbPhase:
         assert len(res.dropped) == 0
         for members in res.cluster_map.values():
             assert 3 <= len(members) <= 6
+
+
+class TestExactShardedLoop:
+    """VERDICT r1 item 5: the exact engine's multi-chip mode must keep the
+    n x n matrix row-sharded through the merge loop. Round 1's
+    with_sharding_constraint version all-gathered the matrix every merge;
+    the shard_map rewrite's per-merge communication is 3 scalar reductions
+    plus one (n,) all_gather."""
+
+    def test_mesh_equals_single_device_at_1k(self, mesh8, rng):
+        from imageclust_tpu.cluster.ward import constrained_ward
+
+        x = rng.normal(size=(1100, 24)).astype(np.float32)
+        ids = [f"i{k}" for k in range(len(x))]
+        for rule in ("lance_williams", "centroid"):
+            a = constrained_ward(x, ids, min_size=3, max_size=6,
+                                 update_rule=rule)
+            b = constrained_ward(x, ids, min_size=3, max_size=6,
+                                 update_rule=rule, mesh=mesh8)
+            assert a.cluster_map == b.cluster_map, rule
+            assert a.dropped == b.dropped, rule
+
+    def test_no_quadratic_collectives_in_loop(self, mesh8):
+        import re
+
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.ward import _sharded_merge_loop
+
+        loop = _sharded_merge_loop(mesh8, "lance_williams")
+        hlo = loop.lower(
+            jnp.zeros((1024, 16)), jnp.int32(1000), jnp.int32(250),
+            jnp.int32(6),
+        ).compile().as_text()
+        # no collective may move the (n, n) matrix
+        assert not [
+            l for l in hlo.splitlines()
+            if re.search(r"(all-gather|all-to-all|collective-permute)", l)
+            and "1024,1024" in l
+        ]
