@@ -194,13 +194,96 @@ def _bucket_merge_loop(
 def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
                  update_rule="lance_williams", absorb=True):
     """Gather each bucket's rows from the device-resident feature matrix and
-    vmap the merge loop over the bucket axis."""
+    vmap the merge loop over the bucket axis (single-device path)."""
     xs = feats[bucket_idx]  # (nb, B, d) — device-side gather, no host trip
     amin = min_size if absorb else None
     return jax.vmap(
         lambda x, c, t: _bucket_merge_loop(x, c, t, max_size, update_rule,
                                            absorb_min=amin)
     )(xs, counts, targets)
+
+
+def _plan_exchange(buckets, n_pad_rows: int, ndev: int, bucket_size: int):
+    """Host-side plan for the owner-aligned feature exchange: every bucket
+    member row moves from the device owning its feature shard to the device
+    owning its bucket, as one all_to_all — the rows move ONCE, O(n/D) per
+    device, instead of replicating the (n, d) matrix everywhere (round-1
+    ROADMAP gap 3 / VERDICT item 6; the 10M tier's blocker).
+
+    Returns (send_idx (D, D, K), recv_pos (D, D, K), K): device sd sends its
+    local rows send_idx[sd, dd, :] to device dd; device dd scatters the
+    packet from sd into flat (bucket_local * B + slot) positions
+    recv_pos[dd, sd, :] (out-of-range = padding, dropped on scatter). K pads
+    to a power of two to bound recompilation."""
+    r = n_pad_rows // ndev
+    nb = len(buckets)
+    nb_local = nb // ndev
+    per: list[list[list[tuple[int, int]]]] = [
+        [[] for _ in range(ndev)] for _ in range(ndev)
+    ]
+    for bi, members in enumerate(buckets):
+        dd = bi // nb_local
+        bl = bi % nb_local
+        for slot, g in enumerate(members):
+            per[g // r][dd].append((g % r, bl * bucket_size + slot))
+    K = max(
+        (len(per[sd][dd]) for sd in range(ndev) for dd in range(ndev)),
+        default=1,
+    )
+    K = max(1, 1 << max(K - 1, 0).bit_length())
+    send_idx = np.zeros((ndev, ndev, K), np.int32)
+    recv_pos = np.full((ndev, ndev, K), np.int32(1 << 30), np.int32)
+    for sd in range(ndev):
+        for dd in range(ndev):
+            for k, (src, pos) in enumerate(per[sd][dd]):
+                send_idx[sd, dd, k] = src
+                recv_pos[dd, sd, k] = pos
+    return send_idx, recv_pos, K
+
+
+_MESH_BUCKET_LOOPS: dict = {}
+
+
+def _all_buckets_mesh(mesh: Mesh, update_rule: str, absorb: bool,
+                      bucket_size: int):
+    """shard_map bucket engine: features stay row-sharded over 'data', the
+    exchange is one all_to_all, and each device runs the vmapped merge loop
+    over ITS buckets only. No step replicates the feature matrix."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    key = (mesh, update_rule, absorb, bucket_size)
+    if key in _MESH_BUCKET_LOOPS:
+        return _MESH_BUCKET_LOOPS[key]
+
+    def body(feats_l, send_idx_l, recv_pos_l, counts_l, targets_l,
+             max_size, min_size):
+        d = feats_l.shape[1]
+        B_cap = bucket_size
+        nb_local = counts_l.shape[0]
+        send = feats_l[send_idx_l[0]]  # (D, K, d)
+        recv = jax.lax.all_to_all(send, "data", split_axis=0, concat_axis=0,
+                                  tiled=False)
+        flat_pos = recv_pos_l[0].reshape(-1)
+        xs_flat = jnp.zeros((nb_local * B_cap, d), feats_l.dtype)
+        xs_flat = xs_flat.at[flat_pos].set(recv.reshape(-1, d), mode="drop")
+        xs = xs_flat.reshape(nb_local, B_cap, d)
+        amin = min_size if absorb else None
+        return jax.vmap(
+            lambda x, c, t: _bucket_merge_loop(
+                x, c, t, max_size, update_rule, absorb_min=amin)
+        )(xs, counts_l, targets_l)
+
+    P_b = P("data")
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None), P("data", None, None),
+                  P("data", None, None), P_b, P_b, P(), P()),
+        out_specs=(P_b, P_b, P_b, P_b, P_b),
+        check_vma=False,
+    )
+    _MESH_BUCKET_LOOPS[key] = jax.jit(fn)
+    return _MESH_BUCKET_LOOPS[key]
 
 
 def _repair_buckets(
@@ -455,21 +538,33 @@ def constrained_ward_bucketed(
         bucket_idx[bi, :c] = members
         targets[bi] = _bucket_target(c, min_size, max_size) if c else 0
 
-    idx_j = jnp.asarray(bucket_idx)
-    counts_j = jnp.asarray(counts)
-    targets_j = jnp.asarray(targets)
     if mesh is not None:
-        shard = NamedSharding(mesh, P("data"))
-        feats = jax.device_put(feats, NamedSharding(mesh, P()))
-        idx_j = jax.device_put(idx_j, NamedSharding(mesh, P("data", None)))
-        counts_j = jax.device_put(counts_j, shard)
-        targets_j = jax.device_put(targets_j, shard)
-
-    logs, steps, births, sizes, active = _all_buckets(
-        feats, idx_j, counts_j, targets_j, jnp.int32(max_size),
-        jnp.int32(min_size), update_rule=update_rule,
-        absorb=reassign_dropped,
-    )
+        # owner-aligned path: features row-sharded, one all_to_all moves
+        # every bucket member to its bucket's device — nothing replicates
+        ndev = mesh.shape["data"]
+        n_rows_pad = int(math.ceil(n / ndev)) * ndev
+        if n_rows_pad != n:
+            feats_x = jnp.concatenate(
+                [feats, jnp.zeros((n_rows_pad - n, d), feats.dtype)])
+        else:
+            feats_x = feats
+        feats_x = jax.device_put(
+            feats_x, NamedSharding(mesh, P("data", None)))
+        send_idx, recv_pos, _ = _plan_exchange(
+            buckets, n_rows_pad, ndev, bucket_size)
+        loop = _all_buckets_mesh(mesh, update_rule, reassign_dropped,
+                                 bucket_size)
+        logs, steps, births, sizes, active = loop(
+            feats_x, jnp.asarray(send_idx), jnp.asarray(recv_pos),
+            jnp.asarray(counts), jnp.asarray(targets),
+            jnp.int32(max_size), jnp.int32(min_size),
+        )
+    else:
+        logs, steps, births, sizes, active = _all_buckets(
+            feats, jnp.asarray(bucket_idx), jnp.asarray(counts),
+            jnp.asarray(targets), jnp.int32(max_size), jnp.int32(min_size),
+            update_rule=update_rule, absorb=reassign_dropped,
+        )
     logs = np.asarray(logs)
     steps = np.asarray(steps)
     births = np.asarray(births)

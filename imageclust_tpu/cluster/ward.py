@@ -315,7 +315,7 @@ def _sharded_merge_loop(mesh, update_rule: str):
     as the single-device loop; enables exact-mode n where one chip's HBM
     cannot hold the n^2 matrix (n=100k needs 40 GB; 5 GB/chip on v5e-8).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     key = (mesh, update_rule)  # Mesh is hashable; id() could alias after GC
@@ -438,7 +438,7 @@ def _sharded_merge_loop(mesh, update_rule: str):
         local_body, mesh=mesh,
         in_specs=(P_rep, P_rep, P_rep, P_rep),
         out_specs=(P_rep, P_rep, P_rep, P_rep, P_rep),
-        check_rep=False,
+        check_vma=False,
     )
     _SHARDED_LOOPS[key] = jax.jit(fn)
     return _SHARDED_LOOPS[key]
