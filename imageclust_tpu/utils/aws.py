@@ -1,24 +1,51 @@
-"""Minimal AWS SigV4-signed HTTP client.
+"""Minimal AWS SigV4-signed HTTP client with the SDK default credential chain.
 
 boto3 / the AWS SDK are not in this image, so the Rekognition and Bedrock
 backends (parity with internal/rekognition/rekognition.go:33-78 and
 internal/ai/*/: the reference uses aws-sdk-go-v2) sign requests directly.
-Credential resolution mirrors the reference's DEV_MODE/static-env scheme
-(rekognition.go:37-53): AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY
-(+ AWS_SESSION_TOKEN) from the environment.
+
+Credential resolution mirrors aws-sdk-go-v2's ``config.LoadDefaultConfig``
+(the reference's non-DEV path, rekognition.go:55-78), in the SDK's order:
+
+1. static environment variables (AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY
+   [+ AWS_SESSION_TOKEN]) — also the reference's DEV_MODE scheme,
+2. web-identity role (AWS_WEB_IDENTITY_TOKEN_FILE + AWS_ROLE_ARN via STS
+   AssumeRoleWithWebIdentity — EKS IRSA),
+3. shared config/credentials files (~/.aws/*, AWS_PROFILE,
+   AWS_SHARED_CREDENTIALS_FILE / AWS_CONFIG_FILE), including profiles that
+   assume ``role_arn`` from a ``source_profile`` via STS AssumeRole,
+4. ECS/container endpoint (AWS_CONTAINER_CREDENTIALS_RELATIVE_URI /
+   _FULL_URI [+ _AUTHORIZATION_TOKEN]),
+5. EC2 instance role via IMDSv2 (token PUT, then role credentials).
+
+Temporary credentials cache process-wide and refresh 5 minutes before
+expiry, like the SDK's credential cache.
 """
 
 from __future__ import annotations
 
+import configparser
 import datetime
 import hashlib
 import hmac
 import json
 import os
+import time
 import urllib.parse
 from dataclasses import dataclass
 
-__all__ = ["AwsCredentials", "sign_request", "aws_post_json", "AwsError"]
+__all__ = [
+    "AwsCredentials",
+    "resolve_credentials",
+    "sign_request",
+    "aws_post_json",
+    "AwsError",
+]
+
+_IMDS_BASE = "http://169.254.169.254"
+_ECS_BASE = "http://169.254.170.2"
+_STS_URL = "https://sts.amazonaws.com/"
+_REFRESH_MARGIN_S = 300.0
 
 
 class AwsError(RuntimeError):
@@ -33,9 +60,19 @@ class AwsCredentials:
     access_key: str
     secret_key: str
     session_token: str = ""
+    expiry: float = 0.0  # unix epoch; 0 = static, never expires
+
+    def expired(self, now: float | None = None) -> bool:
+        if not self.expiry:
+            return False
+        return (now if now is not None else time.time()) > (
+            self.expiry - _REFRESH_MARGIN_S
+        )
 
     @classmethod
     def from_env(cls) -> "AwsCredentials":
+        """Static env credentials only — the reference's DEV_MODE scheme
+        (rekognition.go:37-53). Prefer :func:`resolve_credentials`."""
         ak = os.environ.get("AWS_ACCESS_KEY_ID", "")
         sk = os.environ.get("AWS_SECRET_ACCESS_KEY", "")
         if not ak or not sk:
@@ -44,6 +81,225 @@ class AwsCredentials:
                 "AWS credentials not found in environment variables",
             )
         return cls(ak, sk, os.environ.get("AWS_SESSION_TOKEN", ""))
+
+
+# --------------------------------------------------------------------------
+# default credential chain
+# --------------------------------------------------------------------------
+
+_CACHE: AwsCredentials | None = None
+
+
+def resolve_credentials(force_refresh: bool = False) -> AwsCredentials:
+    """Resolve credentials through the SDK default chain (module docstring);
+    caches until 5 minutes before expiry."""
+    global _CACHE
+    if _CACHE is not None and not force_refresh and not _CACHE.expired():
+        return _CACHE
+    for provider in (_from_static_env, _from_web_identity, _from_profile,
+                     _from_container, _from_imds):
+        creds = provider()
+        if creds is not None:
+            _CACHE = creds
+            return creds
+    raise AwsError(
+        0,
+        "no AWS credentials found: tried env, web identity, shared "
+        "config/credentials profiles, container endpoint, and IMDSv2",
+    )
+
+
+def _from_static_env() -> AwsCredentials | None:
+    ak = os.environ.get("AWS_ACCESS_KEY_ID", "")
+    sk = os.environ.get("AWS_SECRET_ACCESS_KEY", "")
+    if ak and sk:
+        return AwsCredentials(ak, sk, os.environ.get("AWS_SESSION_TOKEN", ""))
+    return None
+
+
+def _parse_expiration(s: str) -> float:
+    try:
+        return datetime.datetime.fromisoformat(
+            s.replace("Z", "+00:00")
+        ).timestamp()
+    except ValueError:
+        return 0.0
+
+
+def _creds_from_json(js: dict) -> AwsCredentials:
+    return AwsCredentials(
+        js["AccessKeyId"],
+        js["SecretAccessKey"],
+        js.get("Token", js.get("SessionToken", "")),
+        _parse_expiration(js.get("Expiration", "")),
+    )
+
+
+def _sts_xml_credentials(xml_text: str) -> AwsCredentials:
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    node = root.find(f".//{ns}Credentials")
+    if node is None:
+        raise AwsError(0, "STS response missing Credentials")
+    get = lambda k: node.findtext(f"{ns}{k}", default="")  # noqa: E731
+    return AwsCredentials(
+        get("AccessKeyId"), get("SecretAccessKey"), get("SessionToken"),
+        _parse_expiration(get("Expiration")),
+    )
+
+
+def _from_web_identity() -> AwsCredentials | None:
+    token_file = os.environ.get("AWS_WEB_IDENTITY_TOKEN_FILE", "")
+    role_arn = os.environ.get("AWS_ROLE_ARN", "")
+    if not token_file or not role_arn or not os.path.exists(token_file):
+        return None
+    import requests
+
+    with open(token_file) as fh:
+        token = fh.read().strip()
+    params = {
+        "Action": "AssumeRoleWithWebIdentity",
+        "Version": "2011-06-15",
+        "RoleArn": role_arn,
+        "RoleSessionName": os.environ.get(
+            "AWS_ROLE_SESSION_NAME", "imageclust-tpu"),
+        "WebIdentityToken": token,
+    }
+    resp = requests.post(_sts_url(), data=params, timeout=10)
+    if resp.status_code // 100 != 2:
+        raise AwsError(resp.status_code, resp.text)
+    return _sts_xml_credentials(resp.text)
+
+
+def _sts_url() -> str:
+    return os.environ.get("IMAGECLUST_STS_URL", _STS_URL)
+
+
+def _from_profile() -> AwsCredentials | None:
+    profile = os.environ.get("AWS_PROFILE", "default")
+    cred_file = os.environ.get(
+        "AWS_SHARED_CREDENTIALS_FILE",
+        os.path.expanduser("~/.aws/credentials"),
+    )
+    conf_file = os.environ.get(
+        "AWS_CONFIG_FILE", os.path.expanduser("~/.aws/config"))
+    sections: dict[str, dict] = {}
+    for path, is_config in ((cred_file, False), (conf_file, True)):
+        if not os.path.exists(path):
+            continue
+        ini = configparser.ConfigParser()
+        try:
+            ini.read(path)
+        except configparser.Error:
+            continue
+        for name in ini.sections():
+            # config file prefixes non-default profiles with "profile "
+            key = name.removeprefix("profile ") if is_config else name
+            merged = sections.setdefault(key, {})
+            for k, v in ini.items(name):
+                merged.setdefault(k, v)
+    sec = sections.get(profile)
+    if not sec:
+        return None
+    if "role_arn" in sec:
+        src = sections.get(sec.get("source_profile", ""), {})
+        ak = src.get("aws_access_key_id")
+        sk = src.get("aws_secret_access_key")
+        if not ak or not sk:
+            return None
+        base = AwsCredentials(ak, sk, src.get("aws_session_token", ""))
+        return _sts_assume_role(
+            base, sec["role_arn"],
+            sec.get("role_session_name", "imageclust-tpu"),
+        )
+    ak = sec.get("aws_access_key_id")
+    sk = sec.get("aws_secret_access_key")
+    if ak and sk:
+        return AwsCredentials(ak, sk, sec.get("aws_session_token", ""))
+    return None
+
+
+def _sts_assume_role(base: AwsCredentials, role_arn: str,
+                     session_name: str) -> AwsCredentials:
+    import requests
+
+    body = urllib.parse.urlencode({
+        "Action": "AssumeRole",
+        "Version": "2011-06-15",
+        "RoleArn": role_arn,
+        "RoleSessionName": session_name,
+    }).encode()
+    url = _sts_url()
+    headers = sign_request(
+        "POST", url, "us-east-1", "sts",
+        {"Content-Type": "application/x-www-form-urlencoded"}, body, base,
+    )
+    resp = requests.post(url, data=body, headers=headers, timeout=10)
+    if resp.status_code // 100 != 2:
+        raise AwsError(resp.status_code, resp.text)
+    return _sts_xml_credentials(resp.text)
+
+
+def _from_container() -> AwsCredentials | None:
+    full = os.environ.get("AWS_CONTAINER_CREDENTIALS_FULL_URI", "")
+    rel = os.environ.get("AWS_CONTAINER_CREDENTIALS_RELATIVE_URI", "")
+    if not full and not rel:
+        return None
+    import requests
+
+    url = full or (_ecs_base() + rel)
+    headers = {}
+    tok = os.environ.get("AWS_CONTAINER_AUTHORIZATION_TOKEN", "")
+    if tok:
+        headers["Authorization"] = tok
+    resp = requests.get(url, headers=headers, timeout=5)
+    if resp.status_code // 100 != 2:
+        raise AwsError(resp.status_code, resp.text)
+    return _creds_from_json(resp.json())
+
+
+def _ecs_base() -> str:
+    return os.environ.get("IMAGECLUST_ECS_BASE", _ECS_BASE)
+
+
+def _imds_base() -> str:
+    return os.environ.get(
+        "AWS_EC2_METADATA_SERVICE_ENDPOINT", _IMDS_BASE).rstrip("/")
+
+
+def _from_imds() -> AwsCredentials | None:
+    if os.environ.get("AWS_EC2_METADATA_DISABLED", "").lower() == "true":
+        return None
+    import requests
+
+    base = _imds_base()
+    try:
+        tok = requests.put(
+            f"{base}/latest/api/token",
+            headers={"X-aws-ec2-metadata-token-ttl-seconds": "21600"},
+            timeout=1.0,
+        ).text
+        h = {"X-aws-ec2-metadata-token": tok}
+        roles = requests.get(
+            f"{base}/latest/meta-data/iam/security-credentials/",
+            headers=h, timeout=1.0,
+        )
+        if roles.status_code // 100 != 2 or not roles.text.strip():
+            return None
+        role = roles.text.strip().splitlines()[0]
+        js = requests.get(
+            f"{base}/latest/meta-data/iam/security-credentials/{role}",
+            headers=h, timeout=1.0,
+        ).json()
+    except Exception:  # not on EC2 (connection refused / timeout)
+        return None
+    if js.get("Code", "Success") != "Success":
+        return None
+    return _creds_from_json(js)
 
 
 def _hmac(key: bytes, msg: str) -> bytes:
@@ -121,7 +377,7 @@ def aws_post_json(
     """Signed POST returning parsed JSON; raises AwsError on non-2xx."""
     import requests
 
-    creds = creds or AwsCredentials.from_env()
+    creds = creds or resolve_credentials()
     body = payload if isinstance(payload, bytes) else json.dumps(payload).encode()
     headers = {"Content-Type": content_type}
     if target:
