@@ -141,7 +141,6 @@ def _merge_body(
     *,
     max_size: jax.Array,
     update_rule: str,
-    use_pallas: bool = False,
     halt: jax.Array | None = None,
     absorb_min: jax.Array | None = None,
 ) -> _LoopState:
@@ -155,23 +154,14 @@ def _merge_body(
 
     # Feasible-pair argmin with the Go tie-break: lexicographically smallest
     # (birth_hi, birth_lo) among minima == first pair in Go scan order
-    # (clustering.go:123-130). On TPU the Pallas kernel streams the matrix
-    # once; the XLA formulation is the fallback (and the vmapped/bucketed
-    # path, where pallas grid semantics differ).
-    from imageclust_tpu.ops.pallas_kernels import (
-        masked_argmin_pair,
-        masked_argmin_pair_xla,
-    )
+    # (clustering.go:123-130). The single-device TPU exact loop uses the
+    # fused Pallas step (_merge_loop_fused_impl) instead of this body.
+    from imageclust_tpu.ops.pallas_kernels import masked_argmin_pair_xla
 
-    if use_pallas and absorb_min is None:
-        dmin, m1, m2 = masked_argmin_pair(
-            state.D, b, state.sizes, state.active, max_size
-        )
-    else:
-        dmin, m1, m2 = masked_argmin_pair_xla(
-            state.D, b, state.sizes, state.active, max_size,
-            require_under=absorb_min,
-        )
+    dmin, m1, m2 = masked_argmin_pair_xla(
+        state.D, b, state.sizes, state.active, max_size,
+        require_under=absorb_min,
+    )
     found = jnp.isfinite(dmin)
     proceed = found if halt is None else (found & halt)
 
@@ -262,19 +252,7 @@ def _merge_loop_impl(
         found=jnp.bool_(True),
     )
 
-    import os
-
-    # opt-in until the Mosaic compile path is proven fast on the target
-    # toolchain (some transports compile kernels very slowly); the XLA
-    # formulation is already fused and fast.
-    use_pallas = (
-        os.environ.get("IMAGECLUST_PALLAS_ARGMIN") == "1"
-        and jax.default_backend() == "tpu"
-        and n_pad % 128 == 0
-        and n_pad >= 512
-    )
-    body = partial(_merge_body, max_size=max_size, update_rule=update_rule,
-                   use_pallas=use_pallas)
+    body = partial(_merge_body, max_size=max_size, update_rule=update_rule)
     state = jax.lax.while_loop(
         lambda st: st.found & (st.num_active > n_target),
         body,
@@ -283,9 +261,124 @@ def _merge_loop_impl(
     return state.log, state.step, state.births, state.sizes, state.active
 
 
+def _merge_loop_fused_impl(
+    x: jax.Array,  # (n_pad, d) f32, rows >= n_items are padding
+    n_items: jax.Array,
+    n_target: jax.Array,
+    max_size: jax.Array,
+    update_rule: str = "centroid",
+    interpret: bool = False,
+):
+    """The single-device exact loop built on the fused Pallas merge step
+    (ops.pallas_kernels.merge_update_argmin): each iteration streams the
+    n x n matrix ONCE, applying the previous merge's row/column update in
+    place and reducing the next feasible-pair argmin in the same pass. The
+    unfused body reads the matrix several times per merge (masks, E, tie
+    planes) plus a separate scatter update.
+
+    The update is PENDING-style: iteration k's kernel call applies merge
+    k-1's row update before reducing; small state (sizes/births/active/log)
+    updates eagerly, so the argmin masks are always post-merge. The final
+    merge's matrix update is never applied — only the log leaves the loop.
+    Semantics (tie-breaks included) identical to _merge_loop_impl.
+    """
+    from imageclust_tpu.ops.pallas_kernels import merge_update_argmin
+
+    n_pad, _ = x.shape
+    f32 = jnp.float32
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    active0 = idx < n_items
+
+    D0 = pairwise_ward_singleton(x.astype(f32))
+    carry0 = (
+        D0,
+        jnp.where(active0, 1, 0).astype(jnp.int32),            # sizes
+        jnp.where(active0, idx, _BIG_I32 - n_pad + idx),       # births
+        x.astype(f32),                                         # cents
+        active0,                                               # active
+        n_items.astype(jnp.int32),                             # counter
+        n_items.astype(jnp.int32),                             # num_active
+        jnp.zeros((max(n_pad - 1, 1), 3), jnp.int32),          # log
+        jnp.int32(0),                                          # step
+        jnp.bool_(True),                                       # found
+        jnp.int32(0),                                          # pending sa
+        jnp.zeros((n_pad,), f32),                              # pending dvec
+        jnp.int32(0),                                          # do_update
+    )
+
+    def body(carry):
+        (D, sizes, births, cents, active, counter, num_active, log, step,
+         _found, p_sa, p_dvec, p_do) = carry
+        D, dmin, m1, m2 = merge_update_argmin(
+            D, p_dvec, p_sa, p_do, births, sizes, active, max_size,
+            interpret=interpret,
+        )
+        found = jnp.isfinite(dmin)
+
+        sa = jnp.argmax(births == m1).astype(jnp.int32)
+        sb = jnp.argmax(births == m2).astype(jnp.int32)
+        s_a = sizes[sa]
+        s_b = sizes[sb]
+        s_new = s_a + s_b
+        sizes_f = sizes.astype(f32)
+        s_new_f = s_new.astype(f32)
+        c_new = (s_a.astype(f32) * cents[sa]
+                 + s_b.astype(f32) * cents[sb]) / s_new_f
+
+        if update_rule == "centroid":
+            diff = cents - c_new[None, :]
+            sq = jnp.sum(diff * diff, axis=1)
+            dvec = (s_new_f * sizes_f / (s_new_f + sizes_f)) * sq
+        elif update_rule == "lance_williams":
+            d_ab = D[sa, sb]
+            dvec = ((s_a.astype(f32) + sizes_f) * D[sa]
+                    + (s_b.astype(f32) + sizes_f) * D[sb]
+                    - sizes_f * d_ab) / (s_new_f + sizes_f)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown update_rule: {update_rule}")
+        dvec = dvec.at[sa].set(0.0)
+
+        new_birth = counter
+        gate = lambda new, old: jnp.where(found, new, old)  # noqa: E731
+        return (
+            D,
+            gate(sizes.at[sa].set(s_new).at[sb].set(0), sizes),
+            gate(births.at[sa].set(new_birth), births),
+            gate(cents.at[sa].set(c_new), cents),
+            gate(active.at[sb].set(False), active),
+            gate(counter + 1, counter),
+            gate(num_active - 1, num_active),
+            gate(log.at[step].set(jnp.stack([m1, m2, new_birth])), log),
+            gate(step + 1, step),
+            found,
+            gate(sa, jnp.int32(0)),
+            gate(dvec, jnp.zeros_like(dvec)),
+            jnp.where(found, 1, 0).astype(jnp.int32),
+        )
+
+    def cond(carry):
+        return carry[9] & (carry[6] > n_target)
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return out[7], out[8], out[2], out[1], out[4]
+
+
 _merge_loop = partial(jax.jit, static_argnames=("update_rule",))(
     _merge_loop_impl
 )
+
+_merge_loop_fused = partial(
+    jax.jit, static_argnames=("update_rule", "interpret")
+)(_merge_loop_fused_impl)
+
+
+def _use_fused_loop() -> bool:
+    import os
+
+    flag = os.environ.get("IMAGECLUST_FUSED_MERGE", "")
+    if flag == "0":
+        return False
+    return flag == "1" or jax.default_backend() == "tpu"
 
 _SHARDED_LOOPS: dict = {}
 
@@ -483,6 +576,15 @@ def _run_merges(
         log, steps, births, sizes, active = loop(
             jnp.asarray(xp), jnp.int32(n), jnp.int32(n_target),
             jnp.int32(max_size),
+        )
+    elif _use_fused_loop():
+        log, steps, births, sizes, active = _merge_loop_fused(
+            jnp.asarray(xp),
+            jnp.int32(n),
+            jnp.int32(n_target),
+            jnp.int32(max_size),
+            update_rule=update_rule,
+            interpret=jax.default_backend() != "tpu",
         )
     else:
         log, steps, births, sizes, active = _merge_loop(

@@ -8,13 +8,13 @@ __all__ = [
     "preprocess_batch",
     "resize_bilinear",
     "resize_weights",
-    "masked_argmin_pair",
-    "normalize_chw",
+    "merge_update_argmin",
+    "masked_argmin_pair_xla",
 ]
 
 
 def __getattr__(name):
-    if name in ("masked_argmin_pair", "normalize_chw"):
+    if name in ("merge_update_argmin", "masked_argmin_pair_xla"):
         from imageclust_tpu.ops import pallas_kernels
 
         return getattr(pallas_kernels, name)

@@ -1,17 +1,20 @@
 """Pallas kernel correctness vs the XLA reference formulation.
 
-On CPU the kernels run in interpret mode; on TPU the compiled path is
-exercised by bench.py / the cluster engine.
+On CPU the kernel runs in interpret mode; on TPU the compiled path is the
+DEFAULT single-device exact merge loop (cluster/ward.py), where it measured
+3.0x over the unfused body at n=4096 with bit-identical merge logs
+(BASELINE.md round-2 notes).
 """
+
+import os
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from imageclust_tpu.ops.pallas_kernels import (
-    masked_argmin_pair,
     masked_argmin_pair_xla,
-    normalize_chw,
+    merge_update_argmin,
 )
 
 
@@ -30,60 +33,76 @@ def _random_state(rng, n, quantize=False):
             jnp.asarray(active))
 
 
-class TestMaskedArgminPair:
+class TestMergeUpdateArgmin:
     @pytest.mark.parametrize("n", [128, 256])
     @pytest.mark.parametrize("quantize", [False, True])
-    def test_matches_xla(self, rng, n, quantize):
+    def test_no_update_matches_xla_argmin(self, rng, n, quantize):
         for trial in range(3):
             D, births, sizes, active = _random_state(rng, n, quantize)
             for max_size in (2, 6, 100):
                 want = masked_argmin_pair_xla(D, births, sizes, active,
                                               max_size)
-                got = masked_argmin_pair(D, births, sizes, active,
-                                         jnp.int32(max_size), interpret=True)
+                D2, *got = merge_update_argmin(
+                    D, jnp.zeros(n), 0, 0, births, sizes, active,
+                    jnp.int32(max_size), interpret=True)
+                np.testing.assert_array_equal(np.asarray(D2), np.asarray(D))
                 for w, g in zip(want, got):
                     assert np.asarray(w) == np.asarray(g), (
-                        f"n={n} q={quantize} max={max_size} trial={trial}: "
-                        f"{[np.asarray(x) for x in want]} != "
-                        f"{[np.asarray(x) for x in got]}"
-                    )
+                        f"n={n} q={quantize} max={max_size} trial={trial}")
+
+    def test_update_applied_then_argmin(self, rng):
+        n = 256
+        D, births, sizes, active = _random_state(rng, n)
+        sa = 7
+        dvec = jnp.asarray(rng.random(n).astype(np.float32)).at[sa].set(0.0)
+        D2, dmin, m1, m2 = merge_update_argmin(
+            D, dvec, sa, 1, births, sizes, active, jnp.int32(6),
+            interpret=True)
+        Dm = np.asarray(D).copy()
+        Dm[sa, :] = np.asarray(dvec)
+        Dm[:, sa] = np.asarray(dvec)
+        np.testing.assert_array_equal(np.asarray(D2), Dm)
+        want = masked_argmin_pair_xla(jnp.asarray(Dm), births, sizes, active,
+                                      jnp.int32(6))
+        assert (float(dmin), int(m1), int(m2)) == (
+            float(want[0]), int(want[1]), int(want[2]))
 
     def test_all_infeasible(self, rng):
         D, births, sizes, active = _random_state(rng, 128)
-        dmin, m1, m2 = masked_argmin_pair(D, births, sizes, active,
-                                          jnp.int32(0), interpret=True)
+        _, dmin, m1, m2 = merge_update_argmin(
+            D, jnp.zeros(128), 0, 0, births, sizes, active, jnp.int32(0),
+            interpret=True)
         assert not np.isfinite(np.asarray(dmin))
 
     def test_respects_active_mask(self, rng):
         D, births, sizes, active = _random_state(rng, 128)
-        # plant a zero-distance pair between two INACTIVE slots
         D = D.at[3, 7].set(0.0).at[7, 3].set(0.0)
         active = active.at[3].set(False).at[7].set(False)
-        dmin, m1, m2 = masked_argmin_pair(D, births, sizes, active,
-                                          jnp.int32(100), interpret=True)
+        _, dmin, m1, m2 = merge_update_argmin(
+            D, jnp.zeros(128), 0, 0, births, sizes, active, jnp.int32(100),
+            interpret=True)
         want = masked_argmin_pair_xla(D, births, sizes, active, 100)
         assert np.asarray(dmin) == np.asarray(want[0]) > 0.0
 
 
-class TestNormalizeCHW:
-    def test_matches_reference(self, rng):
-        imgs = rng.integers(0, 256, (2, 16, 128, 3), dtype=np.uint8)
-        got = np.asarray(normalize_chw(
-            jnp.asarray(imgs), 1 / 255.0, (0.1, 0.2, 0.3), (0.5, 0.6, 0.7),
-            bgr_to_rgb=True, interpret=True,
-        ))
-        x = imgs[..., ::-1].astype(np.float32) / 255.0
-        want = ((x - np.array([0.1, 0.2, 0.3])) /
-                np.array([0.5, 0.6, 0.7])).transpose(0, 3, 1, 2)
-        np.testing.assert_allclose(got, want, atol=1e-6)
-        assert got.shape == (2, 3, 16, 128)
+class TestFusedMergeLoop:
+    """The fused Pallas exact loop must produce the EXACT same merge log /
+    clusters as the unfused body — it is the default on TPU."""
 
-    def test_no_swap(self, rng):
-        imgs = rng.integers(0, 256, (1, 8, 128, 3), dtype=np.uint8)
-        got = np.asarray(normalize_chw(
-            jnp.asarray(imgs), 1.0, (0, 0, 0), (1, 1, 1),
-            bgr_to_rgb=False, interpret=True,
-        ))
-        np.testing.assert_allclose(
-            got, imgs.astype(np.float32).transpose(0, 3, 1, 2)
-        )
+    @pytest.mark.parametrize("rule", ["lance_williams", "centroid"])
+    def test_fused_equals_unfused(self, rng, monkeypatch, rule):
+        import importlib
+
+        import imageclust_tpu.cluster.ward as ward
+
+        x = rng.normal(size=(300, 16)).astype(np.float32)
+        ids = [f"i{k}" for k in range(len(x))]
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "0")
+        a = ward.constrained_ward(x, ids, min_size=3, max_size=6,
+                                  update_rule=rule)
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "1")
+        b = ward.constrained_ward(x, ids, min_size=3, max_size=6,
+                                  update_rule=rule)
+        assert a.cluster_map == b.cluster_map
+        assert a.dropped == b.dropped
+        np.testing.assert_array_equal(a.merges, b.merges)
