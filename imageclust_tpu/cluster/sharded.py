@@ -426,34 +426,47 @@ def _spill_global(
 ) -> tuple[dict[int, list[int]], list[int]]:
     """Cross-bucket fallback for items whose own bucket is completely full:
     place each into its nearest cluster with room anywhere in the job.
-    Candidate search runs on device (no (n, d) host pull)."""
-    cids = sorted(index_map)
-    if not cids:
-        return index_map, list(dropped_idx)
-    n = feats.shape[0]
-    c_pad = 1 << max(len(cids) - 1, 1).bit_length()  # static-shape friendly
-    assign = np.full(n, -1, np.int32)
-    sizes = np.full(c_pad, max_size, np.int32)  # padding reads as "full"
-    for p, c in enumerate(cids):
-        assign[index_map[c]] = p
-        sizes[p] = len(index_map[c])
-    k = min(8, len(cids))
-    cand = np.asarray(_spill_candidates(
-        feats, jnp.asarray(assign), jnp.asarray(sizes),
-        jnp.asarray(np.asarray(dropped_idx, np.int32)),
-        c_pad, k, jnp.int32(max_size),
-    ))
-    room = {p: max_size - int(sizes[p]) for p in range(len(cids))}
-    still: list[int] = []
-    for row, item in enumerate(dropped_idx):
-        for p in cand[row]:
-            p = int(p)
-            if p < len(cids) and room.get(p, 0) > 0:
-                index_map[cids[p]].append(item)
-                room[p] -= 1
-                break
-        else:
-            still.append(item)
+    Candidate search runs on device (no (n, d) host pull).
+
+    Each round asks the device for every leftover item's top-k nearest
+    clusters WITH ROOM and places greedily; when many leftovers contend for
+    the same few candidates the round's room snapshot goes stale, so iterate
+    — the next round re-snapshots sizes and searches again. Terminates when
+    a round places nothing (either nothing has room or nothing is left)."""
+    still = list(dropped_idx)
+    for _ in range(16):  # each round places >= 1 item or we stop
+        cids = sorted(index_map)
+        if not cids or not still:
+            break
+        n = feats.shape[0]
+        c_pad = 1 << max(len(cids) - 1, 1).bit_length()  # static shapes
+        assign = np.full(n, -1, np.int32)
+        sizes = np.full(c_pad, max_size, np.int32)  # padding reads "full"
+        for p, c in enumerate(cids):
+            assign[index_map[c]] = p
+            sizes[p] = len(index_map[c])
+        if not (sizes[: len(cids)] < max_size).any():
+            break  # genuinely full everywhere
+        k = min(8, len(cids))
+        cand = np.asarray(_spill_candidates(
+            feats, jnp.asarray(assign), jnp.asarray(sizes),
+            jnp.asarray(np.asarray(still, np.int32)),
+            c_pad, k, jnp.int32(max_size),
+        ))
+        room = {p: max_size - int(sizes[p]) for p in range(len(cids))}
+        next_still: list[int] = []
+        for row, item in enumerate(still):
+            for p in cand[row]:
+                p = int(p)
+                if p < len(cids) and room.get(p, 0) > 0:
+                    index_map[cids[p]].append(item)
+                    room[p] -= 1
+                    break
+            else:
+                next_still.append(item)
+        if len(next_still) == len(still):
+            break  # no progress: every leftover's candidates are full
+        still = next_still
     return index_map, still
 
 
@@ -529,13 +542,11 @@ def constrained_ward_bucketed(
             buckets.append([])
             nb += 1
 
-    bucket_idx = np.zeros((nb, bucket_size), np.int32)
     counts = np.zeros(nb, np.int32)
     targets = np.zeros(nb, np.int32)
     for bi, members in enumerate(buckets):
         c = len(members)
         counts[bi] = c
-        bucket_idx[bi, :c] = members
         targets[bi] = _bucket_target(c, min_size, max_size) if c else 0
 
     if mesh is not None:
@@ -560,6 +571,9 @@ def constrained_ward_bucketed(
             jnp.int32(max_size), jnp.int32(min_size),
         )
     else:
+        bucket_idx = np.zeros((nb, bucket_size), np.int32)
+        for bi, members in enumerate(buckets):
+            bucket_idx[bi, : len(members)] = members
         logs, steps, births, sizes, active = _all_buckets(
             feats, jnp.asarray(bucket_idx), jnp.asarray(counts),
             jnp.asarray(targets), jnp.int32(max_size), jnp.int32(min_size),

@@ -136,6 +136,37 @@ def pairwise_ward_singleton(x: jax.Array) -> jax.Array:
     return 0.5 * jnp.maximum(d2, 0.0)
 
 
+def ward_update_vector(
+    update_rule: str,
+    *,
+    sizes_f: jax.Array,  # (m,) f32 — sizes of the slots being updated
+    s_a_f: jax.Array,
+    s_b_f: jax.Array,
+    s_new_f: jax.Array,
+    d_a: jax.Array | None = None,   # (m,) D[sa, ·] over those slots
+    d_b: jax.Array | None = None,   # (m,) D[sb, ·]
+    d_ab: jax.Array | None = None,  # scalar D[sa, sb]
+    cents: jax.Array | None = None,  # (m, d) centroids of those slots
+    c_new: jax.Array | None = None,  # (d,) merged centroid
+) -> jax.Array:
+    """The merged cluster's new distance row — the parity-critical Ward
+    recurrence, kept as ONE source of truth for the unfused body, the fused
+    Pallas loop, and the shard_map exact loop (CLAUDE.md's bit-parity
+    invariant requires all three to round identically).
+
+    "centroid" recomputes from centroids exactly as the reference does after
+    every merge (clustering.go:83-87); "lance_williams" is the O(1)-per-
+    entry recurrence, identical in exact arithmetic."""
+    if update_rule == "centroid":
+        diff = cents - c_new[None, :]
+        sq = jnp.sum(diff * diff, axis=1)
+        return (s_new_f * sizes_f / (s_new_f + sizes_f)) * sq
+    if update_rule == "lance_williams":
+        return ((s_a_f + sizes_f) * d_a + (s_b_f + sizes_f) * d_b
+                - sizes_f * d_ab) / (s_new_f + sizes_f)
+    raise ValueError(f"unknown update_rule: {update_rule}")
+
+
 def _merge_body(
     state: _LoopState,
     *,
@@ -177,23 +208,12 @@ def _merge_body(
 
     sizes_f = state.sizes.astype(f32)
     s_new_f = s_new.astype(f32)
-    if update_rule == "centroid":
-        # Recompute the merged cluster's row from centroids — exactly what the
-        # reference does after every merge (clustering.go:83-87).
-        diff = state.cents - c_new[None, :]
-        sq = jnp.sum(diff * diff, axis=1)
-        dvec = (s_new_f * sizes_f / (s_new_f + sizes_f)) * sq
-    elif update_rule == "lance_williams":
-        # Ward Lance-Williams recurrence — identical in exact arithmetic,
-        # O(n) instead of O(n*d) per merge.
-        d_ab = state.D[sa, sb]
-        dvec = (
-            (s_a.astype(f32) + sizes_f) * state.D[sa]
-            + (s_b.astype(f32) + sizes_f) * state.D[sb]
-            - sizes_f * d_ab
-        ) / (s_new_f + sizes_f)
-    else:  # pragma: no cover
-        raise ValueError(f"unknown update_rule: {update_rule}")
+    dvec = ward_update_vector(
+        update_rule, sizes_f=sizes_f, s_a_f=s_a.astype(f32),
+        s_b_f=s_b.astype(f32), s_new_f=s_new_f,
+        d_a=state.D[sa], d_b=state.D[sb], d_ab=state.D[sa, sb],
+        cents=state.cents, c_new=c_new,
+    )
     dvec = dvec.at[sa].set(0.0)
 
     new_birth = state.counter
@@ -325,17 +345,12 @@ def _merge_loop_fused_impl(
         c_new = (s_a.astype(f32) * cents[sa]
                  + s_b.astype(f32) * cents[sb]) / s_new_f
 
-        if update_rule == "centroid":
-            diff = cents - c_new[None, :]
-            sq = jnp.sum(diff * diff, axis=1)
-            dvec = (s_new_f * sizes_f / (s_new_f + sizes_f)) * sq
-        elif update_rule == "lance_williams":
-            d_ab = D[sa, sb]
-            dvec = ((s_a.astype(f32) + sizes_f) * D[sa]
-                    + (s_b.astype(f32) + sizes_f) * D[sb]
-                    - sizes_f * d_ab) / (s_new_f + sizes_f)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown update_rule: {update_rule}")
+        dvec = ward_update_vector(
+            update_rule, sizes_f=sizes_f, s_a_f=s_a.astype(f32),
+            s_b_f=s_b.astype(f32), s_new_f=s_new_f,
+            d_a=D[sa], d_b=D[sb], d_ab=D[sa, sb],
+            cents=cents, c_new=c_new,
+        )
         dvec = dvec.at[sa].set(0.0)
 
         new_birth = counter
@@ -475,19 +490,19 @@ def _sharded_merge_loop(mesh, update_rule: str):
 
             if update_rule == "centroid":
                 # my slice of the new row, from replicated centroids
-                diff = cents[my_gids] - c_new[None, :]
-                sqd = jnp.sum(diff * diff, axis=1)
-                dvec_l = (s_new_f * sizes_f[my_gids]
-                          / (s_new_f + sizes_f[my_gids])) * sqd
+                dvec_l = ward_update_vector(
+                    update_rule, sizes_f=sizes_f[my_gids],
+                    s_a_f=s_a.astype(f32), s_b_f=s_b.astype(f32),
+                    s_new_f=s_new_f, cents=cents[my_gids], c_new=c_new,
+                )
             else:  # lance_williams — all reads local by symmetry
-                col_a = Dl[:, sa]
-                col_b = Dl[:, sb]
                 d_ab = jax.lax.psum(
-                    jnp.sum(jnp.where(my_gids == sa, col_b, 0.0)), "data")
-                sz_l = sizes_f[my_gids]
-                dvec_l = ((s_a.astype(f32) + sz_l) * col_a
-                          + (s_b.astype(f32) + sz_l) * col_b
-                          - sz_l * d_ab) / (s_new_f + sz_l)
+                    jnp.sum(jnp.where(my_gids == sa, Dl[:, sb], 0.0)), "data")
+                dvec_l = ward_update_vector(
+                    update_rule, sizes_f=sizes_f[my_gids],
+                    s_a_f=s_a.astype(f32), s_b_f=s_b.astype(f32),
+                    s_new_f=s_new_f, d_a=Dl[:, sa], d_b=Dl[:, sb], d_ab=d_ab,
+                )
             dvec_l = jnp.where(my_gids == sa, 0.0, dvec_l)
 
             # column write (local) + row write (owner, from one (n,) gather)

@@ -42,6 +42,22 @@ def sanitize_filename(name: str) -> str:
     )
 
 
+def dedup_name(name: str, seen: set[str]) -> str:
+    """Collision-free name among ``seen`` (the reference silently overwrites
+    collisions, handlers.go:86-104): appends _1, _2, ... before the
+    extension. Does NOT add the result to ``seen`` — callers do."""
+    if name not in seen:
+        return name
+    stem, dot, ext = name.rpartition(".")
+    base = stem if dot else name
+    suffix = 1
+    while True:
+        cand = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
+        if cand not in seen:
+            return cand
+        suffix += 1
+
+
 def _decode_one(data: bytes, size: int | None) -> np.ndarray:
     try:
         from imageclust_tpu.data.native import native_decode_resize
@@ -128,6 +144,19 @@ def stream_decode(
     q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a plain
+        q.put() can block forever after the consumer abandons the generator
+        (its finally drains once, the producer refills the slot, then the
+        terminal put has no reader), leaking the thread and a pixel chunk."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             with ThreadPoolExecutor(
@@ -143,10 +172,11 @@ def stream_decode(
                         for s in chunk
                     ]
                     imgs = list(pool.map(lambda b: _decode_one(b, size), blobs))
-                    q.put((start, blobs, np.stack(imgs)))
-            q.put(None)
+                    if not _put((start, blobs, np.stack(imgs))):
+                        return
+            _put(None)
         except BaseException as exc:  # surface in the consumer
-            q.put(exc)
+            _put(exc)
 
     t = threading.Thread(target=produce, name="ingest-decode", daemon=True)
     t.start()
@@ -160,9 +190,12 @@ def stream_decode(
             yield item
     finally:
         stop.set()
-        # drain so the producer can exit promptly if the consumer bailed
+        # unblock a producer waiting on a full queue so it can observe stop
         while not q.empty():
-            q.get_nowait()
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _read_file(path: str) -> bytes:

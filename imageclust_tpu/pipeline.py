@@ -35,6 +35,7 @@ from imageclust_tpu.config import AppConfig
 from imageclust_tpu.data.loader import (
     _read_file,
     decode_images,
+    dedup_name,
     sanitize_filename,
 )
 from imageclust_tpu.labels import (
@@ -154,17 +155,8 @@ class Pipeline:
         names: list[str] = []
         seen: set[str] = set()
         for p in paths:
-            name = sanitize_filename(os.path.basename(p)) or "image"
-            if name in seen:
-                stem, dot, ext = name.rpartition(".")
-                base = stem if dot else name
-                suffix = 1
-                while True:
-                    cand = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
-                    if cand not in seen:
-                        name = cand
-                        break
-                    suffix += 1
+            name = dedup_name(
+                sanitize_filename(os.path.basename(p)) or "image", seen)
             seen.add(name)
             names.append(name)
         item_ids = [f"img_{i}" for i in range(len(names))]
@@ -381,16 +373,7 @@ class Pipeline:
         blobs: list[bytes] = []
         seen: set[str] = set()
         for up in uploads:
-            name = sanitize_filename(up.filename) or "image"
-            if name in seen:  # the reference silently overwrites collisions
-                stem, dot, ext = name.rpartition(".")
-                base = stem if dot else name
-                suffix = 1
-                candidate = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
-                while candidate in seen:
-                    suffix += 1
-                    candidate = f"{base}_{suffix}{dot}{ext}" if dot else f"{base}_{suffix}"
-                name = candidate
+            name = dedup_name(sanitize_filename(up.filename) or "image", seen)
             seen.add(name)
             with open(os.path.join(image_dir, name), "wb") as fh:
                 fh.write(up.data)

@@ -30,6 +30,7 @@ import hashlib
 import hmac
 import json
 import os
+import threading
 import time
 import urllib.parse
 from dataclasses import dataclass
@@ -88,20 +89,26 @@ class AwsCredentials:
 # --------------------------------------------------------------------------
 
 _CACHE: AwsCredentials | None = None
+_CACHE_LOCK = threading.Lock()
 
 
 def resolve_credentials(force_refresh: bool = False) -> AwsCredentials:
     """Resolve credentials through the SDK default chain (module docstring);
-    caches until 5 minutes before expiry."""
+    caches until 5 minutes before expiry. Thread-safe: concurrent labeler
+    threads on a cold cache resolve once, not N times (no STS/IMDS
+    thundering herd)."""
     global _CACHE
     if _CACHE is not None and not force_refresh and not _CACHE.expired():
         return _CACHE
-    for provider in (_from_static_env, _from_web_identity, _from_profile,
-                     _from_container, _from_imds):
-        creds = provider()
-        if creds is not None:
-            _CACHE = creds
-            return creds
+    with _CACHE_LOCK:
+        if _CACHE is not None and not force_refresh and not _CACHE.expired():
+            return _CACHE
+        for provider in (_from_static_env, _from_web_identity, _from_profile,
+                         _from_container, _from_imds):
+            creds = provider()
+            if creds is not None:
+                _CACHE = creds
+                return creds
     raise AwsError(
         0,
         "no AWS credentials found: tried env, web identity, shared "
@@ -278,12 +285,21 @@ def _from_imds() -> AwsCredentials | None:
 
     base = _imds_base()
     try:
-        tok = requests.put(
-            f"{base}/latest/api/token",
-            headers={"X-aws-ec2-metadata-token-ttl-seconds": "21600"},
-            timeout=1.0,
-        ).text
-        h = {"X-aws-ec2-metadata-token": tok}
+        # IMDSv2 first; fall back to v1 when the token PUT fails (e.g. a
+        # container behind the default hop limit of 1 gets 403/timeouts) —
+        # the SDK's fallback behavior, without which instance roles break
+        # on common EC2 setups.
+        h = {}
+        try:
+            tok_resp = requests.put(
+                f"{base}/latest/api/token",
+                headers={"X-aws-ec2-metadata-token-ttl-seconds": "21600"},
+                timeout=1.0,
+            )
+            if tok_resp.status_code // 100 == 2 and tok_resp.text:
+                h = {"X-aws-ec2-metadata-token": tok_resp.text}
+        except Exception:
+            pass  # v1 fallback below still probes the role endpoint
         roles = requests.get(
             f"{base}/latest/meta-data/iam/security-credentials/",
             headers=h, timeout=1.0,

@@ -111,3 +111,46 @@ class TestNativeResizeParity:
             ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
             ref = cv2.resize(ref, (224, 224), interpolation=cv2.INTER_LINEAR)
             np.testing.assert_array_equal(ref, got, err_msg=f"{(h, w)}")
+
+
+class TestNativeFloatPaths:
+    """The float32 resize and full-blob preprocess entry points are the
+    CPU-frontend API (hosts shipping ready blobs to a remote TPU service);
+    they must track OpenCV's float INTER_LINEAR semantics."""
+
+    def _native(self):
+        from imageclust_tpu.data import native
+
+        if not native.available():
+            pytest.skip("native lib not built (make -C native)")
+        return native
+
+    def test_resize_batch_f32_matches_cv2_float(self):
+        import cv2
+
+        native = self._native()
+        rng = np.random.default_rng(3)
+        for h, w, oh, ow in [(480, 640, 224, 224), (100, 80, 224, 224),
+                             (300, 200, 64, 48)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            got = native.native_resize_batch(img[None], oh, ow, threads=2)[0]
+            ref = cv2.resize(img.astype(np.float32), (ow, oh),
+                             interpolation=cv2.INTER_LINEAR)
+            np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-5)
+
+    def test_preprocess_blob_matches_reference_composition(self):
+        import cv2
+
+        native = self._native()
+        rng = np.random.default_rng(4)
+        imgs = rng.integers(0, 256, (3, 120, 160, 3), dtype=np.uint8)
+        mean, std = (0.1, 0.2, 0.3), (0.5, 0.6, 0.7)
+        got = native.native_preprocess_blob(
+            imgs, out_size=64, scale=1 / 255.0, mean=mean, std=std,
+            bgr_to_rgb=True, threads=2)
+        for i, img in enumerate(imgs):
+            r = cv2.resize(img.astype(np.float32), (64, 64),
+                           interpolation=cv2.INTER_LINEAR)
+            r = r[..., ::-1] / 255.0  # BGR->RGB then the reference's scale
+            want = ((r - np.asarray(mean)) / np.asarray(std)).transpose(2, 0, 1)
+            np.testing.assert_allclose(got[i], want, atol=2e-4, rtol=1e-4)
