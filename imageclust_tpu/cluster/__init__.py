@@ -5,6 +5,7 @@ from imageclust_tpu.cluster.ward import (
     constrained_ward,
 )
 from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+from imageclust_tpu.cluster.chain import constrained_ward_chain
 
 __all__ = [
     "ClusterResult",
@@ -12,4 +13,5 @@ __all__ = [
     "calculate_optimal_clusters",
     "constrained_ward",
     "constrained_ward_bucketed",
+    "constrained_ward_chain",
 ]

@@ -1,0 +1,314 @@
+"""Nearest-neighbor-chain constrained Ward: exact greedy semantics in
+O(n*d) memory — no n x n distance matrix.
+
+The exact engine (:mod:`imageclust_tpu.cluster.ward`) reproduces the
+reference's greedy merge loop (clustering.go:220-246) against a dense Ward
+matrix: O(n^2) HBM and one full-matrix pass per merge. That caps exact mode
+at a few thousand items; past ``exact_limit`` the pipeline falls back to the
+bucketed engine, which approximates the global merge ORDER.
+
+This module removes the approximation at the 100k tier. Ward linkage is
+*reducible* (d(i∪j, k) >= min(d(i,k), d(j,k))), so the nearest-neighbor-chain
+algorithm produces the SAME dendrogram as the greedy global-argmin loop
+whenever merge distances are distinct — and the reference's maxSize
+"poisoning" (clustering.go:228-234) PRESERVES reducibility, because
+infeasibility is monotone: cluster sizes only grow, so a pair that is ever
+oversized stays oversized (infinite distance only ever increases). Greedy
+also realizes that dendrogram in non-decreasing height order, so "greedy
+stopped at k clusters" == "the n-k smallest-height dendrogram nodes": we run
+the chain to exhaustion on device and CUT at the target count on the host.
+
+TPU shape: one jitted ``lax.while_loop`` whose per-iteration work is a
+single (n, d) streamed pass (distances from the chain head to every
+centroid) — O(n*d) memory, O(n*d) per step, ~3n steps total. n=100k never
+materializes the 40 GB matrix the exact engine would need.
+
+Same guarantee domain as the Lance-Williams mode (CLAUDE.md): identical to
+the greedy engine wherever merge distances are distinct; mathematically TIED
+distances may resolve differently (the greedy loop uses the Go scan-order
+tie-break; the chain discovers merges in a different order). This is a SCALE
+mode, not the parity mode.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageclust_tpu.cluster.ward import (
+    ClusterResult,
+    _BIG_I32,
+    _leaf_indices,
+    calculate_optimal_clusters,
+)
+
+__all__ = ["constrained_ward_chain"]
+
+
+@jax.jit
+def _chain_start(x: jax.Array, n_items: jax.Array):
+    """Build the chain loop's device carry from (n_pad, d) padded features."""
+    n_pad, _ = x.shape
+    f32 = jnp.float32
+    i32 = jnp.int32
+    idx = jnp.arange(n_pad, dtype=i32)
+    active0 = idx < n_items
+    x = x.astype(f32)
+    return (
+        x,                                                   # cents
+        jnp.where(active0, 1, 0).astype(i32),                # sizes
+        jnp.where(active0, idx, _BIG_I32 - n_pad + idx),     # births
+        active0,                                             # active
+        ~active0,                                            # blocked
+        jnp.zeros((n_pad + 1,), i32),                        # chain
+        i32(0),                                              # chain_len
+        jnp.zeros((n_pad, 3), i32),                          # log
+        jnp.zeros((n_pad,), f32),                            # heights
+        i32(0),                                              # step
+        n_items.astype(i32),                                 # counter
+        n_items.astype(i32),                                 # n_unblocked
+        i32(0),                                              # segment iter
+    )
+
+
+@jax.jit
+def _chain_segment(carry, max_size: jax.Array, seg_iters: jax.Array):
+    """Advance the NN-chain by at most ``seg_iters`` iterations.
+
+    The loop is SEGMENTED rather than one unbounded device program: a full
+    run is ~3n iterations, and a single while_loop executing for minutes
+    trips device-runtime watchdogs (observed: the TPU worker kills a ~4 min
+    program at n=100k, d=1000). The carry stays resident in HBM between
+    segments; the host re-dispatches until no feasible pair remains, paying
+    one scalar sync per segment.
+
+    Merges appear in the log in CHAIN order — not height order; the host cut
+    sorts by (height, log index), which is guaranteed child-before-parent
+    because a parent's height is >= its children's (reducibility => no
+    inversions) and a parent is always logged after its children.
+    """
+    n_pad = carry[0].shape[0]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    idx = jnp.arange(n_pad, dtype=i32)
+
+    def body(carry):
+        (cents, sizes, births, active, blocked, chain, clen, log, heights,
+         step, counter, n_unb, it) = carry
+
+        # seed an empty chain with the lowest-index unblocked cluster, then
+        # fall through to the distance step in the SAME iteration
+        need_seed = clen == 0
+        first = jnp.argmax(active & ~blocked).astype(i32)
+        chain = jnp.where(need_seed, chain.at[0].set(first), chain)
+        clen = jnp.where(need_seed, i32(1), clen)
+
+        top = chain[clen - 1]
+        prev = chain[jnp.maximum(clen - 2, 0)]
+        has_prev = clen >= 2
+
+        # Ward distance from the chain head to every cluster, one streamed
+        # (n, d) pass. Direct diff-square-sum (not norm+gram): matches the
+        # greedy engine's "centroid" update rounding as closely as possible.
+        c_top = cents[top]
+        s_top = sizes[top]
+        s_top_f = s_top.astype(f32)
+        diff = cents - c_top[None, :]
+        d2 = jnp.sum(diff * diff, axis=1)
+        s_j = sizes.astype(f32)
+        w = (s_top_f * s_j / (s_top_f + s_j)) * d2
+        feas = active & (idx != top) & ((s_top + sizes) <= max_size)
+        E = jnp.where(feas, w, jnp.inf)
+        dmin = jnp.min(E)
+        found = jnp.isfinite(dmin)
+
+        # reciprocal-NN test with the standard prefer-prev tie-break (keeps
+        # the chain acyclic); otherwise first-index argmin for determinism
+        prev_is_min = has_prev & found & (E[prev] <= dmin)
+        nn = jnp.where(prev_is_min, prev, jnp.argmin(E).astype(i32))
+
+        do_merge = prev_is_min
+        do_block = ~found
+        do_extend = found & ~prev_is_min
+
+        # --- merge top & prev (computed unconditionally, gated below) ---
+        keep = jnp.minimum(top, prev)
+        drop = jnp.maximum(top, prev)
+        s_a = sizes[top]
+        s_b = sizes[prev]
+        s_new = s_a + s_b
+        c_new = (s_a.astype(f32) * cents[top]
+                 + s_b.astype(f32) * cents[prev]) / s_new.astype(f32)
+        bhi = jnp.maximum(births[top], births[prev])
+        blo = jnp.minimum(births[top], births[prev])
+
+        cents = jnp.where(do_merge, cents.at[keep].set(c_new), cents)
+        sizes = jnp.where(
+            do_merge, sizes.at[keep].set(s_new).at[drop].set(0), sizes)
+        births = jnp.where(do_merge, births.at[keep].set(counter), births)
+        active = jnp.where(do_merge, active.at[drop].set(False), active)
+        log = jnp.where(
+            do_merge, log.at[step].set(jnp.stack([bhi, blo, counter])), log)
+        heights = jnp.where(do_merge, heights.at[step].set(dmin), heights)
+
+        # --- block: top has no feasible partner, permanently (sizes only
+        # grow) — retire it from chain seeding; it stays an output cluster
+        blocked = jnp.where(do_block, blocked.at[top].set(True), blocked)
+
+        # --- extend: push the nearer neighbor
+        chain = jnp.where(do_extend, chain.at[clen].set(nn), chain)
+
+        clen = jnp.where(do_merge, clen - 2,
+                         jnp.where(do_block, clen - 1, clen + 1))
+        counter = jnp.where(do_merge, counter + 1, counter)
+        step = jnp.where(do_merge, step + 1, step)
+        n_unb = n_unb - jnp.where(do_merge | do_block, 1, 0).astype(i32)
+
+        return (cents, sizes, births, active, blocked, chain, clen, log,
+                heights, step, counter, n_unb, it + 1)
+
+    def cond(carry):
+        n_unb, it = carry[11], carry[12]
+        return (n_unb >= 2) & (it < seg_iters)
+
+    return jax.lax.while_loop(cond, body, (*carry[:12], jnp.int32(0)))
+
+
+def _segment_iters(n_pad: int, d: int) -> int:
+    """Iterations per device program, sized to ~10-15 s of device time: each
+    iteration streams the (n_pad, d) centroid matrix once (plus constant
+    per-iteration overhead), so scale inversely with the matrix size."""
+    bytes_per_iter = n_pad * d * 4 * 1.3 + 4 * n_pad * 4
+    t_iter = bytes_per_iter / 6e11 + 8e-6  # ~600 GB/s effective + overhead
+    return int(max(2048, min(1 << 17, 12.0 / t_iter)))
+
+
+def _chain_loop(x_pad: jax.Array, n_items: int, max_size: int):
+    """Run the NN-chain to exhaustion in bounded-length device segments.
+
+    Returns (log (n_pad, 3) i32 [birth_hi, birth_lo, new_birth],
+    heights (n_pad,) f32, step count).
+    """
+    n_pad, d = x_pad.shape
+    carry = _chain_start(x_pad, jnp.int32(n_items))
+    seg = _segment_iters(n_pad, d)
+    # Each iteration performs exactly one of {merge, block, extend}; pushes
+    # are bounded by pops + n, so <= ~8n iterations total — the segment cap
+    # is a backstop against a logic bug turning into a hang.
+    max_segments = (8 * n_pad + 16) // seg + 2
+    ms = jnp.int32(max_size)
+    si = jnp.int32(seg)
+    for _ in range(max_segments):
+        carry = _chain_segment(carry, ms, si)
+        if int(carry[11]) < 2:  # n_unblocked — one scalar sync per segment
+            break
+    return carry[7], carry[8], carry[9]
+
+
+def _cut(
+    log: np.ndarray,       # (m, 3) [hi, lo, new] birth stamps, chain order
+    heights: np.ndarray,   # (m,)
+    n_items: int,
+    n_target: int,
+) -> list[list[int]]:
+    """Apply the n_items - n_target smallest-height merges (all if fewer) —
+    the partition the greedy loop stops at. Stable (height, chain order)
+    sort guarantees children apply before their parent."""
+    m = log.shape[0]
+    take = min(m, n_items - n_target)
+    order = np.lexsort((np.arange(m), heights))
+    children: dict[int, tuple[int, int]] = {}
+    roots = set(range(n_items))
+    for j in order[:take]:
+        hi, lo, new = (int(v) for v in log[j])
+        children[new] = (hi, lo)
+        roots.discard(hi)
+        roots.discard(lo)
+        roots.add(new)
+    return [_leaf_indices(b, n_items, children) for b in sorted(roots)]
+
+
+def _pad_len(n: int) -> int:
+    return max(128, int(128 * math.ceil(n / 128)))
+
+
+def constrained_ward_chain(
+    embeddings,
+    ids: Sequence[str] | None = None,
+    *,
+    min_size: int = 3,
+    max_size: int = 6,
+    reassign_dropped: bool = True,
+) -> ClusterResult:
+    """Size-constrained Ward via nearest-neighbor chains: the greedy
+    engine's partition (wherever merge distances are distinct) without its
+    O(n^2) matrix — exact-semantics clustering at n where only the bucketed
+    approximation used to fit.
+
+    ``embeddings`` may be numpy or a device-resident jax array (features
+    straight from the embedder never leave HBM). Always the "centroid"
+    update rule: distances are recomputed from merged centroids exactly as
+    the reference does (clustering.go:83-87). ``reassign_dropped`` defaults
+    True like the other scale mode: under-min clusters spill their members
+    into the nearest clusters with room (device-side candidate search)
+    instead of silently dropping them (clustering.go:268-271).
+    """
+    if isinstance(embeddings, jax.Array):
+        feats = embeddings.astype(jnp.float32)
+    else:
+        feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
+    if feats.ndim != 2:
+        raise ValueError(f"embeddings must be (n, d), got {feats.shape}")
+    n, d = feats.shape
+    if ids is None:
+        ids = [f"img_{i}" for i in range(n)]  # workflow.go:140 id scheme
+    if len(ids) != n:
+        raise ValueError("ids length must match embeddings")
+
+    n_target = calculate_optimal_clusters(n, min_size, max_size)
+
+    n_pad = _pad_len(n)
+    if n_pad != n:
+        feats_p = jnp.concatenate(
+            [feats, jnp.zeros((n_pad - n, d), feats.dtype)])
+    else:
+        feats_p = feats
+    log, heights, steps = _chain_loop(feats_p, n, max_size)
+    m = int(steps)
+    log = np.asarray(log)[:m]
+    heights = np.asarray(heights)[:m]
+
+    clusters = _cut(log, heights, n, n_target)
+
+    index_map: dict[int, list[int]] = {}
+    dropped_idx: list[int] = []
+    cid = 0
+    for members in clusters:
+        if len(members) < min_size:  # clustering.go:268-271
+            dropped_idx.extend(members)
+            continue
+        index_map[cid] = members
+        cid += 1
+
+    if reassign_dropped and dropped_idx:
+        from imageclust_tpu.cluster.sharded import _spill_global
+
+        index_map, dropped_idx = _spill_global(
+            feats, index_map, dropped_idx, max_size)
+
+    # applied merges, in greedy (ascending-height) order
+    applied = np.lexsort((np.arange(m), heights))[: min(m, n - n_target)]
+    result = ClusterResult(
+        cluster_map={c: [ids[k] for k in mem] for c, mem in index_map.items()},
+        dropped=[ids[k] for k in dropped_idx],
+        merges=log[applied],
+        n_items=n,
+        n_clusters_target=n_target,
+    )
+    result._index_map = index_map
+    return result

@@ -55,8 +55,14 @@ class ClusterConfig:
     # global merge order, so the O(n)-per-merge recurrence is the default).
     scale_update_rule: str = "lance_williams"
     # Number of images above which the pipeline switches from the exact
-    # single-matrix engine to the bucketed/sharded engine.
+    # single-matrix engine to the scale engine.
     exact_limit: int = 4096
+    # Scale engine for jobs above exact_limit: "bucketed" (k-means buckets +
+    # vmapped per-bucket merges; approximates the global merge order, mesh-
+    # shardable) or "chain" (nearest-neighbor-chain: the greedy engine's
+    # exact partition wherever merge distances are distinct, O(n*d) memory,
+    # single device).
+    scale_engine: str = "bucketed"
     # Bucket capacity for the scalable engine (images per independently
     # clustered bucket; buckets run vmapped / sharded across devices).
     bucket_size: int = 512

@@ -30,7 +30,11 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from imageclust_tpu.cluster import constrained_ward, constrained_ward_bucketed
+from imageclust_tpu.cluster import (
+    constrained_ward,
+    constrained_ward_bucketed,
+    constrained_ward_chain,
+)
 from imageclust_tpu.config import AppConfig
 from imageclust_tpu.data.loader import (
     _read_file,
@@ -299,6 +303,12 @@ class Pipeline:
                     min_size=min_size, max_size=max_size,
                     update_rule=cfg.cluster.update_rule,
                     reassign_dropped=cfg.cluster.reassign_dropped,
+                )
+            elif cfg.cluster.scale_engine == "chain":
+                result = constrained_ward_chain(
+                    features, item_ids,
+                    min_size=min_size, max_size=max_size,
+                    reassign_dropped=cfg.cluster.scale_reassign_dropped,
                 )
             else:
                 result = constrained_ward_bucketed(

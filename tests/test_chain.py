@@ -1,0 +1,138 @@
+"""Nearest-neighbor-chain constrained Ward (cluster/chain.py).
+
+Ward linkage is reducible and the maxSize poisoning is monotone, so the
+chain dendrogram equals the greedy engine's wherever merge distances are
+distinct (chain.py's module docstring carries the argument). These tests pin
+that equivalence against BOTH independent arbiters: the greedy engine
+(itself oracle-parity-tested against the clustering.go transliteration) and
+SciPy's Ward linkage.
+"""
+
+import numpy as np
+import pytest
+
+from imageclust_tpu.cluster import (
+    constrained_ward,
+    constrained_ward_chain,
+)
+from imageclust_tpu.cluster.ward import ConstraintError
+
+
+def _partition(result):
+    """Order-free view of a ClusterResult: set of frozensets of member ids."""
+    return {frozenset(m) for m in result.cluster_map.values()}
+
+
+@pytest.fixture()
+def gauss(rng):
+    def make(n, d=8, scale=1.0):
+        return (rng.standard_normal((n, d)) * scale).astype(np.float32)
+
+    return make
+
+
+class TestChainMatchesGreedy:
+    """Chain partition == greedy exact-engine partition on tie-free floats."""
+
+    @pytest.mark.parametrize("n,mn,mx", [(60, 3, 6), (200, 3, 6), (333, 2, 9)])
+    def test_constrained(self, gauss, n, mn, mx):
+        x = gauss(n)
+        ref = constrained_ward(x, min_size=mn, max_size=mx)
+        got = constrained_ward_chain(
+            x, min_size=mn, max_size=mx, reassign_dropped=False)
+        assert _partition(got) == _partition(ref)
+        assert set(got.dropped) == set(ref.dropped)
+
+    def test_unconstrained_sizes(self, gauss):
+        # max_size = n disables poisoning: pure Ward dendrogram cut
+        x = gauss(120)
+        ref = constrained_ward(x, min_size=1, max_size=120)
+        got = constrained_ward_chain(
+            x, min_size=1, max_size=120, reassign_dropped=False)
+        assert _partition(got) == _partition(ref)
+
+    def test_device_array_input(self, gauss):
+        import jax.numpy as jnp
+
+        x = gauss(90)
+        ref = constrained_ward_chain(x, reassign_dropped=False)
+        got = constrained_ward_chain(jnp.asarray(x), reassign_dropped=False)
+        assert _partition(got) == _partition(ref)
+
+
+class TestChainMatchesScipy:
+    def test_unconstrained_partition(self, rng):
+        pytest.importorskip("scipy")
+        from scipy.cluster.hierarchy import fcluster, linkage
+
+        n = 150
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        # max_size = n disables poisoning: the cut at the chain's own target
+        # must match scipy's maxclust cut of the same Ward dendrogram
+        got = constrained_ward_chain(
+            x, min_size=1, max_size=n, reassign_dropped=False)
+        want = fcluster(linkage(x, method="ward"), len(got.cluster_map),
+                        criterion="maxclust")
+        assign = got.assignments()
+        pairs = {(a, b) for a in range(n) for b in range(a)
+                 if assign[a] >= 0 and assign[a] == assign[b]}
+        pairs_scipy = {(a, b) for a in range(n) for b in range(a)
+                       if want[a] == want[b]}
+        assert pairs == pairs_scipy
+
+
+class TestConstraints:
+    def test_max_size_respected(self, gauss):
+        x = gauss(257)
+        res = constrained_ward_chain(x, min_size=3, max_size=6)
+        for members in res.cluster_map.values():
+            assert len(members) <= 6
+
+    def test_no_loss_default(self, gauss):
+        x = gauss(500)
+        res = constrained_ward_chain(x, min_size=3, max_size=6)
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 500
+        assert not res.dropped  # spill pass places everything here
+        for members in res.cluster_map.values():
+            assert 1 <= len(members) <= 6
+
+    def test_parity_drop_semantics(self, gauss):
+        x = gauss(100)
+        res = constrained_ward_chain(x, reassign_dropped=False)
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 100
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+
+    def test_deterministic(self, gauss):
+        x = gauss(180)
+        a = constrained_ward_chain(x)
+        b = constrained_ward_chain(x)
+        assert a.cluster_map == b.cluster_map
+        assert a.dropped == b.dropped
+
+    def test_infeasible_raises(self, gauss):
+        with pytest.raises(ConstraintError):
+            constrained_ward_chain(gauss(2), min_size=3, max_size=6)
+
+    def test_merge_log_heights_cover_cut(self, gauss):
+        x = gauss(64)
+        res = constrained_ward_chain(x, reassign_dropped=False)
+        # applied merges = n - target (feasible here)
+        assert res.merges.shape[0] == 64 - res.n_clusters_target
+
+
+class TestStructured:
+    def test_obvious_blobs(self, rng):
+        # 4 well-separated blobs of 5 -> exactly 4 clusters, one per blob
+        centers = np.array([[0, 0], [40, 0], [0, 40], [40, 40]], np.float32)
+        x = np.concatenate([
+            c + rng.standard_normal((5, 2)).astype(np.float32) * 0.1
+            for c in centers
+        ])
+        res = constrained_ward_chain(x, min_size=3, max_size=6)
+        assert _partition(res) == {
+            frozenset(f"img_{i}" for i in range(b * 5, b * 5 + 5))
+            for b in range(4)
+        }
