@@ -254,13 +254,16 @@ def bench_decode(n_images: int, workers: int) -> dict:
     }
 
 
-def bench_cluster_only(n: int, d: int, bucket_size: int) -> dict:
+def bench_cluster_only(n: int, d: int, bucket_size: int,
+                       engine: str = "auto") -> dict:
     """Constrained-Ward alone over synthetic features (the SURVEY §6 scaling
-    ladder: Ward time at 1k/10k/100k/1M). Exact engine under exact_limit,
-    bucketed above."""
+    ladder: Ward time at 1k/10k/100k/1M). ``engine``: "auto" (exact engine
+    under exact_limit, bucketed above), "bucketed", or "chain" (NN-chain:
+    exact greedy semantics in O(n*d) memory)."""
     import jax
     import jax.numpy as jnp
 
+    from imageclust_tpu.cluster.chain import constrained_ward_chain
     from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
     from imageclust_tpu.cluster.ward import constrained_ward
 
@@ -268,7 +271,9 @@ def bench_cluster_only(n: int, d: int, bucket_size: int) -> dict:
     feats = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
 
     def run():
-        if n <= 4096:
+        if engine == "chain":
+            return constrained_ward_chain(feats, min_size=3, max_size=6)
+        if engine == "auto" and n <= 4096:
             return constrained_ward(np.asarray(feats), min_size=3, max_size=6,
                                     update_rule="lance_williams")
         return constrained_ward_bucketed(
@@ -289,7 +294,8 @@ def bench_cluster_only(n: int, d: int, bucket_size: int) -> dict:
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / dt, 3),
-        "detail": {"n_clusters": len(res.cluster_map), "d": d},
+        "detail": {"n_clusters": len(res.cluster_map), "d": d,
+                   "engine": engine, "dropped": len(res.dropped)},
     }
 
 
@@ -309,6 +315,9 @@ def main() -> int:
                         help="benchmark constrained Ward alone")
     parser.add_argument("--d", type=int, default=64,
                         help="feature dim for --cluster-only")
+    parser.add_argument("--engine", default="auto",
+                        choices=["auto", "bucketed", "chain"],
+                        help="cluster engine for --cluster-only")
     parser.add_argument("--workers", type=int, default=8)
     args = parser.parse_args()
 
@@ -318,7 +327,7 @@ def main() -> int:
         result = bench_e2e_real(args.n, args.batch, args.bucket,
                                 args.workers, args.data_dir)
     elif args.cluster_only:
-        result = bench_cluster_only(args.n, args.d, args.bucket)
+        result = bench_cluster_only(args.n, args.d, args.bucket, args.engine)
     else:
         result = bench_e2e(args.n, args.batch, args.bucket)
     detail = result.pop("detail")

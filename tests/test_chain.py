@@ -60,6 +60,42 @@ class TestChainMatchesGreedy:
         assert _partition(got) == _partition(ref)
 
 
+class TestChainGreedyFuzz:
+    """Property fuzz over seeds and constraint shapes: the chain partition
+    must equal the greedy engine's on continuous (generically tie-free)
+    data. Seeded gaussians rather than raw hypothesis floats — hypothesis
+    shrinks toward duplicated values, i.e. mathematically TIED Ward
+    distances, which are outside the equivalence guarantee (chain.py
+    docstring; same caveat domain as tests/test_ward_fuzz.py)."""
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(10, 120),
+        mn=st.integers(1, 4),
+        span=st.integers(1, 6),
+        d=st.integers(2, 12),
+    )
+    def test_matches_greedy(self, seed, n, mn, span, d):
+        from imageclust_tpu.cluster.ward import ConstraintError
+
+        x = (np.random.default_rng(seed)
+             .standard_normal((n, d)).astype(np.float32))
+        mx = mn + span
+        try:
+            ref = constrained_ward(x, min_size=mn, max_size=mx)
+        except ConstraintError:
+            with pytest.raises(ConstraintError):
+                constrained_ward_chain(x, min_size=mn, max_size=mx)
+            return
+        got = constrained_ward_chain(
+            x, min_size=mn, max_size=mx, reassign_dropped=False)
+        assert _partition(got) == _partition(ref)
+        assert set(got.dropped) == set(ref.dropped)
+
+
 class TestChainMatchesScipy:
     def test_unconstrained_partition(self, rng):
         pytest.importorskip("scipy")
