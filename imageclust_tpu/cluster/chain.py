@@ -32,7 +32,6 @@ mode, not the parity mode.
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Sequence
 
@@ -44,6 +43,7 @@ from imageclust_tpu.cluster.ward import (
     ClusterResult,
     _BIG_I32,
     _leaf_indices,
+    _pad_len,
     calculate_optimal_clusters,
 )
 
@@ -76,7 +76,9 @@ def _chain_start(x: jax.Array, n_items: jax.Array):
     )
 
 
-@jax.jit
+# The carry is donated: the loop state (up to (n,d)+ hundreds of MB) is
+# updated in place across segments instead of double-buffering in HBM.
+@partial(jax.jit, donate_argnums=(0,))
 def _chain_segment(carry, max_size: jax.Array, seg_iters: jax.Array):
     """Advance the NN-chain by at most ``seg_iters`` iterations.
 
@@ -207,6 +209,13 @@ def _chain_loop(x_pad: jax.Array, n_items: int, max_size: int):
         carry = _chain_segment(carry, ms, si)
         if int(carry[11]) < 2:  # n_unblocked — one scalar sync per segment
             break
+    else:
+        # never reached when the loop logic is correct; a partial log would
+        # silently yield a wrong (over-fragmented) partition, so fail loud
+        raise RuntimeError(
+            f"NN-chain did not converge within {max_segments * seg} "
+            f"iterations (n={n_items}) — loop invariant violated"
+        )
     return carry[7], carry[8], carry[9]
 
 
@@ -215,13 +224,29 @@ def _cut(
     heights: np.ndarray,   # (m,)
     n_items: int,
     n_target: int,
-) -> list[list[int]]:
+) -> tuple[list[list[int]], np.ndarray]:
     """Apply the n_items - n_target smallest-height merges (all if fewer) —
-    the partition the greedy loop stops at. Stable (height, chain order)
-    sort guarantees children apply before their parent."""
+    the partition the greedy loop stops at. Returns (clusters, applied log
+    row indices in ascending-height order).
+
+    Heights are first MONOTONE-CORRECTED along dendrogram paths
+    (h'[parent] = max(h[parent], h'[children])): in exact arithmetic Ward
+    has no inversions so this is the identity, but float32 rounding can
+    order a parent's recomputed-from-centroids height a few ulps below a
+    child's — an uncorrected sort could then cut a parent without its
+    child, duplicating its leaves across two output clusters. The stable
+    (corrected height, chain order) sort is child-before-parent by
+    construction (children precede parents in the chain log)."""
     m = log.shape[0]
     take = min(m, n_items - n_target)
-    order = np.lexsort((np.arange(m), heights))
+    h = heights.astype(np.float64).copy()
+    hmap = {int(new): j for j, (_, _, new) in enumerate(log)}
+    for j in range(m):  # children precede parents in chain order
+        for child in (int(log[j, 0]), int(log[j, 1])):
+            cj = hmap.get(child)
+            if cj is not None and h[cj] > h[j]:
+                h[j] = h[cj]
+    order = np.lexsort((np.arange(m), h))
     children: dict[int, tuple[int, int]] = {}
     roots = set(range(n_items))
     for j in order[:take]:
@@ -230,11 +255,8 @@ def _cut(
         roots.discard(hi)
         roots.discard(lo)
         roots.add(new)
-    return [_leaf_indices(b, n_items, children) for b in sorted(roots)]
-
-
-def _pad_len(n: int) -> int:
-    return max(128, int(128 * math.ceil(n / 128)))
+    clusters = [_leaf_indices(b, n_items, children) for b in sorted(roots)]
+    return clusters, order[:take]
 
 
 def constrained_ward_chain(
@@ -257,9 +279,24 @@ def constrained_ward_chain(
     True like the other scale mode: under-min clusters spill their members
     into the nearest clusters with room (device-side candidate search)
     instead of silently dropping them (clustering.go:268-271).
+
+    Precision scope of the equivalence claim: "same partition as the greedy
+    engine" is a statement about EXACT arithmetic (like CLAUDE.md's
+    bit-parity caveat). Both engines run float32; distances that are
+    mathematically distinct but within a few ulps of each other can round
+    into a different order on the two computation paths (the greedy engine
+    forms singleton distances via a Gram matmul, this engine via direct
+    diff-square-sum) and diverge the merge sequence. The cut is structurally
+    robust to such rounding (monotone-corrected heights, see :func:`_cut`);
+    the resulting partitions differ only where distances effectively tie.
     """
     if isinstance(embeddings, jax.Array):
         feats = embeddings.astype(jnp.float32)
+        if len(feats.sharding.device_set) > 1:
+            # single-device engine by design (config.py scale_engine docs):
+            # consolidate mesh-sharded features instead of letting GSPMD
+            # partition the while_loop into per-iteration collectives
+            feats = jax.device_put(feats, next(iter(feats.devices())))
     else:
         feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
     if feats.ndim != 2:
@@ -283,7 +320,7 @@ def constrained_ward_chain(
     log = np.asarray(log)[:m]
     heights = np.asarray(heights)[:m]
 
-    clusters = _cut(log, heights, n, n_target)
+    clusters, applied = _cut(log, heights, n, n_target)
 
     index_map: dict[int, list[int]] = {}
     dropped_idx: list[int] = []
@@ -301,8 +338,7 @@ def constrained_ward_chain(
         index_map, dropped_idx = _spill_global(
             feats, index_map, dropped_idx, max_size)
 
-    # applied merges, in greedy (ascending-height) order
-    applied = np.lexsort((np.arange(m), heights))[: min(m, n - n_target)]
+    # result.merges: the applied merges, in greedy (ascending-height) order
     result = ClusterResult(
         cluster_map={c: [ids[k] for k in mem] for c, mem in index_map.items()},
         dropped=[ids[k] for k in dropped_idx],

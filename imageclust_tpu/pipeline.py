@@ -310,6 +310,13 @@ class Pipeline:
                     min_size=min_size, max_size=max_size,
                     reassign_dropped=cfg.cluster.scale_reassign_dropped,
                 )
+            elif cfg.cluster.scale_engine != "bucketed":
+                # fail loud: a typo must not silently run the bucketed
+                # approximation in place of the exact-semantics chain engine
+                raise ValueError(
+                    f"unknown cluster.scale_engine "
+                    f"{cfg.cluster.scale_engine!r}; know 'bucketed', 'chain'"
+                )
             else:
                 result = constrained_ward_bucketed(
                     features, item_ids,

@@ -159,6 +159,70 @@ class TestConstraints:
         assert res.merges.shape[0] == 64 - res.n_clusters_target
 
 
+class TestRobustness:
+    def test_cut_monotone_correction(self):
+        # crafted float-rounding inversion: the parent merge (birth 5)
+        # carries a height BELOW its child's (birth 4). An uncorrected
+        # height sort would apply the parent without the child (duplicating
+        # leaves); the monotone-corrected cut must keep them consistent.
+        from imageclust_tpu.cluster.chain import _cut
+
+        log = np.array([[1, 0, 4], [4, 2, 5], [5, 3, 6]], np.int32)
+        heights = np.array([1.0, 0.99999, 2.0], np.float32)  # inversion
+        clusters, applied = _cut(log, heights, n_items=4, n_target=2)
+        # take = 2 merges: corrected order applies child then parent
+        flat = sorted(i for mem in clusters for i in mem)
+        assert flat == [0, 1, 2, 3]  # every leaf exactly once
+        assert {frozenset(m) for m in clusters} == {
+            frozenset({0, 1, 2}), frozenset({3})}
+        assert list(applied) == [0, 1]
+
+    def test_mesh_sharded_input_consolidates(self, gauss, mesh8):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = gauss(96)
+        xs = jax.device_put(
+            jax.numpy.asarray(x), NamedSharding(mesh8, P("data")))
+        got = constrained_ward_chain(xs, reassign_dropped=False)
+        ref = constrained_ward_chain(x, reassign_dropped=False)
+        assert _partition(got) == _partition(ref)
+
+    def test_pipeline_rejects_unknown_scale_engine(self, rng, tmp_path):
+        from helpers import MeanColorEmbedder, color_group_images
+
+        from imageclust_tpu.config import AppConfig, ClusterConfig
+        from imageclust_tpu.pipeline import Pipeline
+        from imageclust_tpu.types import UploadedImage
+
+        cfg = AppConfig(cluster=ClusterConfig(
+            exact_limit=4, scale_engine="chian"))  # typo must fail loud
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        names, blobs = color_group_images(rng, per_group=4)
+        ups = [UploadedImage(n, b) for n, b in zip(names, blobs)]
+        with pytest.raises(ValueError, match="scale_engine"):
+            pipe.run(ups, tmp_path.as_posix())
+
+    def test_pipeline_runs_chain_engine(self, rng, tmp_path):
+        from helpers import MeanColorEmbedder, color_group_images
+
+        from imageclust_tpu.config import AppConfig, ClusterConfig
+        from imageclust_tpu.pipeline import Pipeline
+        from imageclust_tpu.types import UploadedImage
+
+        cfg = AppConfig(cluster=ClusterConfig(
+            exact_limit=4, scale_engine="chain"))
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        names, blobs = color_group_images(rng, per_group=4)
+        ups = [UploadedImage(n, b) for n, b in zip(names, blobs)]
+        res = pipe.run(ups, tmp_path.as_posix())
+        got = {frozenset(c.images) for c in res.clusters.values()}
+        want = {frozenset(n for n in names if n.startswith(g))
+                for g in sorted({n.split("_")[0] for n in names})}
+        assert got == want
+        assert not res.dropped
+
+
 class TestStructured:
     def test_obvious_blobs(self, rng):
         # 4 well-separated blobs of 5 -> exactly 4 clusters, one per blob
