@@ -130,6 +130,12 @@ class EmbedConfig:
     # to 4x4/1 over 12 s2d channels with 1/255 + BGR flip folded in —
     # mathematically identical, ~25% faster stem on the MXU.
     s2d_stem: bool = True
+    # "" (full precision) or "int8": post-training-quantized serving tower
+    # (resnet50 only) — BN-folded per-channel int8 weights, calibrated
+    # activation scales, int32 MXU accumulation. NOT bit-parity with the
+    # f32 tower: embeddings shift within quantization error (tests pin
+    # cosine > 0.99 on the pooled features); cache tags include it.
+    quantize: str = ""
 
 
 @dataclass

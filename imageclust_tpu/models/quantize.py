@@ -1,0 +1,205 @@
+"""Post-training int8 quantization for the ResNet50 tower (serving only).
+
+The bf16 tower sits at its shape-constrained ceiling (BASELINE.md: stages
+1-2 are HBM-bandwidth-bound at 56^2/28^2 activations; a measured int8 conv
+there gains 1.38x from halved traffic while the MXU rate is unchanged).
+This module is the "changed arithmetic" lever that analysis pointed to: a
+quantized serving variant of the exact architecture the reference runs
+(resnet50-v1-7, internal/embeddings/embeddings.go:28-43).
+
+TPU-first shape: the quantized forward is a PURE function over a params
+pytree — no module framework, every dtype explicit:
+
+* weights: symmetric per-output-channel int8 (scale = absmax/127 of the
+  BN-FOLDED f32 kernel, folding via :func:`fold_bn_variables` so the BN
+  affine is inside the quantization grid),
+* activations: symmetric per-tensor int8, scales calibrated from one
+  captured f32 forward over a calibration batch (plus headroom margin),
+* convs accumulate in int32 on the MXU (``preferred_element_type``);
+  dequant + bias + relu fuse into the conv epilogue, and the NEXT conv's
+  quantize fuses into the producer — inter-layer HBM tensors are int8,
+* the 7x7 stem conv and the 1000-way dense head stay bf16/f32 (the image
+  input has only 8 bits of range to start with; the head is parity-
+  sensitive and tiny).
+
+Quality: per-channel PTQ on ResNet50 classically costs <1% top-1. This
+environment has no pretrained weights (the reference mirror strips the
+blob), so the guard here is structural: tests pin cosine similarity of
+pooled features / logits between the int8 and f32 towers on random-init
+weights, and production users calibrate on a sample of their own images
+(`quantize_resnet50(..., calib_images=...)`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imageclust_tpu.models.resnet50 import (
+    GLUON_STAGE_LAYERS,
+    fold_bn_variables,
+)
+
+__all__ = ["quantize_resnet50", "quant_apply"]
+
+_EPS = 1e-12
+
+
+def _conv(x, kernel, stride: int, pad: int, out_dtype=None):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=dn,
+        preferred_element_type=out_dtype,
+    )
+
+
+def _qconv(p: dict, x, stride: int, pad: int, act_dtype):
+    """int8 conv: quantize the input with the calibrated scale, accumulate
+    int32 on the MXU, dequantize per output channel. The round/clip/cast
+    fuses into the producer's epilogue; dequant+bias fuse into this conv's."""
+    sx = p["act_scale"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    xq = xq.astype(jnp.int8)
+    y = _conv(xq, p["kernel_q"], stride, pad, out_dtype=jnp.int32)
+    y = y.astype(jnp.float32) * (sx * p["w_scale"]) + p["bias"]
+    return y.astype(act_dtype)
+
+
+def _fconv(p: dict, x, stride: int, pad: int, act_dtype):
+    """Folded f32/bf16 conv (calibration path and the unquantized stem)."""
+    y = _conv(x.astype(act_dtype), p["kernel"].astype(act_dtype), stride, pad)
+    return y + p["bias"].astype(y.dtype)
+
+
+def _s2d_stem(p: dict, x_u8, act_dtype):
+    """Raw-uint8 space-to-depth stem, same in-graph kernel rewrite as
+    ResNet50V1(stem_mode="s2d_raw") (resnet50.py): 7x7/2 over 3 channels ->
+    4x4/1 over 12 s2d channels with the 1/255 scale and BGR->RGB flip folded
+    into the kernel. Exact in real arithmetic."""
+    w7 = jnp.asarray(p["kernel"], jnp.float32)
+    w8 = jnp.zeros((8, 8, 3, 64), jnp.float32).at[1:8, 1:8].set(w7)
+    parts = [w8[pp::2, qq::2, 2 - c, :]
+             for pp in (0, 1) for qq in (0, 1) for c in (0, 1, 2)]
+    w12 = (jnp.stack(parts, axis=2) * (1.0 / 255.0)).astype(act_dtype)
+    b_, h, w_, _ = x_u8.shape
+    xs = x_u8.reshape(b_, h // 2, 2, w_ // 2, 2, 3)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b_, h // 2, w_ // 2, 12)
+    dn = jax.lax.conv_dimension_numbers(
+        xs.shape, w12.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        xs.astype(act_dtype), w12, (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=dn,
+    )
+    return y + p["bias"].astype(y.dtype)
+
+
+def _forward(
+    params: dict,
+    x,  # normalized float (NHWC/NCHW), or RAW BGR uint8 NHWC (s2d stem)
+    *,
+    quant: bool,
+    act_dtype=jnp.bfloat16,
+    stage_layers=GLUON_STAGE_LAYERS,
+):
+    """Shared forward for the calibration (f32 folded, collects per-conv
+    input absmax) and int8 paths. Mirrors ResNet50V1 exactly (Gluon
+    BottleneckV1: stride on the first 1x1; projection shortcut on the first
+    block of each stage). Returns (logits, pooled, absmax dict — empty when
+    quant=True)."""
+    stats: dict[str, jax.Array] = {}
+
+    def body_conv(p, key, x, stride=1, pad=0):
+        if quant:
+            return _qconv(p, x, stride, pad, act_dtype)
+        stats[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        return _fconv(p, x, stride, pad, act_dtype)
+
+    # stem: unquantized (8-bit input range; see module docstring)
+    if x.dtype == jnp.uint8:  # raw BGR NHWC: fused s2d stem
+        x = _s2d_stem(params["conv0"], x, act_dtype)
+    else:
+        if x.shape[1] == 3:  # NCHW -> NHWC
+            x = jnp.transpose(x, (0, 2, 3, 1))
+        x = _fconv(params["conv0"], x, 2, 3, act_dtype)
+    x = jax.nn.relu(x)
+    x = jax.lax.reduce_window(
+        x, jnp.asarray(-jnp.inf, x.dtype), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    for si, n_blocks in enumerate(stage_layers):
+        stride = 1 if si == 0 else 2
+        for bi in range(n_blocks):
+            blk = f"stage{si + 1}_block{bi}"
+            p = params[blk]
+            s = stride if bi == 0 else 1
+            y = jax.nn.relu(body_conv(p["conv0"], f"{blk}/conv0", x, s, 0))
+            y = jax.nn.relu(body_conv(p["conv1"], f"{blk}/conv1", y, 1, 1))
+            y = body_conv(p["conv2"], f"{blk}/conv2", y, 1, 0)
+            if bi == 0:
+                x = body_conv(p["conv_proj"], f"{blk}/conv_proj", x, s, 0)
+            x = jax.nn.relu(y + x)
+
+    pooled = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (B, 2048)
+    d = params["dense0"]
+    logits = pooled @ d["kernel"].astype(jnp.float32) + d["bias"]
+    return logits, pooled, stats
+
+
+_calib_forward = jax.jit(
+    partial(_forward, quant=False, act_dtype=jnp.float32))
+
+
+def quant_apply(qparams: dict, x, *, act_dtype=jnp.bfloat16):
+    """Quantized inference forward. ``x`` is the normalized float batch
+    (NHWC or NCHW), exactly what the f32 tower takes. Returns
+    (logits, pooled) in float32. Jit at the call site (the registry does)."""
+    logits, pooled, _ = _forward(qparams, x, quant=True, act_dtype=act_dtype)
+    return logits, pooled
+
+
+def quantize_resnet50(
+    variables: dict,
+    calib_images,  # (B, H, W, 3) or (B, 3, H, W) float, normalized
+    *,
+    margin: float = 1.05,
+) -> dict:
+    """Fold BN, calibrate activation scales on ``calib_images`` (one f32
+    forward), and quantize every bottleneck conv to per-channel int8.
+
+    ``variables`` is the standard ``ResNet50V1`` tree (params +
+    batch_stats), e.g. from ``load_onnx_params``. ``margin`` inflates the
+    observed absmax to absorb activation spread beyond the calibration
+    sample (clipping is otherwise unbounded error; 5% is the usual PTQ
+    compromise). Returns the qparams pytree for :func:`quant_apply`.
+    """
+    folded = fold_bn_variables(variables)["params"]
+    calib = jnp.asarray(np.asarray(calib_images, np.float32))
+    _, _, stats = _calib_forward(folded, calib)
+    stats = jax.device_get(stats)
+
+    q: dict[str, Any] = {"conv0": folded["conv0"], "dense0": folded["dense0"]}
+    for si, n_blocks in enumerate(GLUON_STAGE_LAYERS):
+        for bi in range(n_blocks):
+            blk = f"stage{si + 1}_block{bi}"
+            q[blk] = {}
+            for conv in ("conv0", "conv1", "conv2", "conv_proj"):
+                if conv not in folded[blk]:
+                    continue
+                w = np.asarray(folded[blk][conv]["kernel"], np.float64)
+                w_scale = np.maximum(
+                    np.abs(w).max(axis=(0, 1, 2)) / 127.0, _EPS)
+                wq = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
+                sx = float(stats[f"{blk}/{conv}"]) * margin / 127.0
+                q[blk][conv] = {
+                    "kernel_q": jnp.asarray(wq),
+                    "w_scale": jnp.asarray(w_scale.astype(np.float32)),
+                    "bias": folded[blk][conv]["bias"],
+                    "act_scale": jnp.float32(max(sx, _EPS)),
+                }
+    return q

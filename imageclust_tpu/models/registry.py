@@ -250,6 +250,44 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
 
     pooled = cfg.output == "pooled"
 
+    if cfg.quantize == "int8":
+        from imageclust_tpu.models.quantize import (
+            quant_apply,
+            quantize_resnet50,
+        )
+
+        # Calibration batch: synthetic normalized images by default — with
+        # no pretrained weights in this environment the activations are
+        # random-init statistics either way. Production: point
+        # IMAGECLUST_CALIB_NPY at a real (B, 224, 224, 3) uint8 sample.
+        calib_path = os.environ.get("IMAGECLUST_CALIB_NPY", "")
+        if calib_path and os.path.exists(calib_path):
+            calib_u8 = np.load(calib_path)[:32]
+        else:
+            calib_u8 = np.random.default_rng(0).integers(
+                0, 256, (8, 224, 224, 3), np.uint8)
+        calib = calib_u8.astype(np.float32)[..., ::-1] / 255.0  # BGR->RGB
+        qparams = quantize_resnet50(variables, calib)
+
+        def q_apply_fn(vars_, x):
+            logits, feats = quant_apply(vars_, x)
+            return feats if pooled else logits
+
+        # raw uint8 fast path: quant_apply dispatches on dtype to the fused
+        # s2d stem (same kernel rewrite as the bf16 tower's s2d_raw mode)
+        q_raw_apply_fn = q_apply_fn if cfg.s2d_stem else None
+
+        spec = EmbedderSpec(
+            name="resnet50",
+            input_size=224,
+            dim=2048 if pooled else cfg.num_classes,
+            scale=1.0 / 255.0,
+            mean=(0.0, 0.0, 0.0),
+            std=(1.0, 1.0, 1.0),
+            bgr_input=True,
+        )
+        return spec, q_apply_fn, qparams, q_raw_apply_fn
+
     def apply_fn(vars_, x):
         logits, feats = model.apply(vars_, x, return_features=True)
         return feats if pooled else logits
@@ -325,20 +363,23 @@ def _weights_tag(cfg: EmbedConfig, seed: int) -> str:
     name + a fingerprint of the weights' provenance."""
     import hashlib
 
+    # quantized towers produce different embeddings than full precision —
+    # the cache identity must separate them
+    q = f":{cfg.quantize}" if cfg.quantize else ""
     if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
         st = os.stat(cfg.checkpoint_path)
         fp = hashlib.sha256(
             f"{cfg.checkpoint_path}:{st.st_size}:{int(st.st_mtime)}".encode()
         ).hexdigest()[:12]
-        return f"{cfg.model}:{cfg.output}:ckpt-{fp}"
+        return f"{cfg.model}:{cfg.output}{q}:ckpt-{fp}"
     if cfg.onnx_path and os.path.exists(cfg.onnx_path):
         h = hashlib.sha256()
         with open(cfg.onnx_path, "rb") as fh:
             h.update(fh.read(1 << 20))
         st = os.stat(cfg.onnx_path)
         h.update(str((st.st_size, int(st.st_mtime))).encode())
-        return f"{cfg.model}:{cfg.output}:{h.hexdigest()[:12]}"
-    return f"{cfg.model}:{cfg.output}:randominit-{seed}"
+        return f"{cfg.model}:{cfg.output}{q}:{h.hexdigest()[:12]}"
+    return f"{cfg.model}:{cfg.output}{q}:randominit-{seed}"
 
 
 def create_embedder(
@@ -347,6 +388,10 @@ def create_embedder(
     seed: int = 0,
 ) -> Embedder:
     cfg = cfg or EmbedConfig()
+    if cfg.quantize not in ("", "int8"):
+        raise ValueError(f"unknown quantize mode {cfg.quantize!r}")
+    if cfg.quantize and cfg.model != "resnet50":
+        raise ValueError("quantize='int8' is supported for resnet50 only")
     raw_apply_fn = None
     if cfg.model == "resnet50":
         spec, apply_fn, variables, raw_apply_fn = _build_resnet50(cfg, seed)
