@@ -181,6 +181,145 @@ def _chain_segment(carry, max_size: jax.Array, seg_iters: jax.Array):
     return jax.lax.while_loop(cond, body, (*carry[:12], jnp.int32(0)))
 
 
+_MESH_CHAIN_SEGMENTS: dict = {}
+
+
+def _mesh_chain_segment(mesh):
+    """shard_map chain segment: the centroid matrix row-shards over the
+    mesh's 'data' axis so each step's (n, d) streamed pass divides across
+    devices — the chain engine's HBM-bandwidth bound becomes aggregate
+    bandwidth, and (n, d) can exceed one chip's HBM.
+
+    Per-step communication is tiny and constant: two (d,) ``psum``s (fetch
+    the chain head's and its predecessor's centroid rows from their owners)
+    and three scalar ``pmin``s (global min distance, first global index
+    achieving it, the predecessor's distance). All small state (sizes,
+    births, chain, log) is replicated and updated identically on every
+    device. Trajectories are BIT-IDENTICAL to the single-device segment:
+    per-row arithmetic is unchanged, min/psum-of-one-owner-row are exact,
+    and the argmin tie-break (first global index) is reproduced explicitly.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mesh in _MESH_CHAIN_SEGMENTS:
+        return _MESH_CHAIN_SEGMENTS[mesh]
+
+    ndev = mesh.shape["data"]
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    def seg(carry, max_size, seg_iters):
+        cents_l = carry[0]  # (n_pad/ndev, d) local row block
+        rows_per = cents_l.shape[0]
+        n_pad = rows_per * ndev
+        my = jax.lax.axis_index("data")
+        row0 = (my * rows_per).astype(i32)
+        gids = row0 + jnp.arange(rows_per, dtype=i32)
+
+        def fetch_row(cents_l, i):
+            """cents[i] from its owner, exact: psum of one row + zeros."""
+            li = i - row0
+            inb = (li >= 0) & (li < rows_per)
+            safe = jnp.clip(li, 0, rows_per - 1)
+            row = jnp.where(inb, cents_l[safe], jnp.zeros_like(cents_l[0]))
+            return jax.lax.psum(row, "data")
+
+        def body(carry):
+            (cents_l, sizes, births, active, blocked, chain, clen, log,
+             heights, step, counter, n_unb, it) = carry
+
+            need_seed = clen == 0
+            first = jnp.argmax(active & ~blocked).astype(i32)
+            chain = jnp.where(need_seed, chain.at[0].set(first), chain)
+            clen = jnp.where(need_seed, i32(1), clen)
+
+            top = chain[clen - 1]
+            prev = chain[jnp.maximum(clen - 2, 0)]
+            has_prev = clen >= 2
+
+            c_top = fetch_row(cents_l, top)
+            s_top = sizes[top]
+            s_top_f = s_top.astype(f32)
+            diff = cents_l - c_top[None, :]
+            d2_l = jnp.sum(diff * diff, axis=1)
+            sizes_g = sizes[gids]
+            s_j = sizes_g.astype(f32)
+            w_l = (s_top_f * s_j / (s_top_f + s_j)) * d2_l
+            feas = (active[gids] & (gids != top)
+                    & ((s_top + sizes_g) <= max_size))
+            E_l = jnp.where(feas, w_l, jnp.inf)
+            dmin = jax.lax.pmin(jnp.min(E_l), "data")
+            found = jnp.isfinite(dmin)
+            # first global index achieving the min (== jnp.argmin semantics)
+            nn_any = jax.lax.pmin(
+                jnp.min(jnp.where(E_l == dmin, gids, _BIG_I32)), "data")
+            # E[prev] from its owner (non-owners contribute +inf)
+            lp = prev - row0
+            inb = (lp >= 0) & (lp < rows_per)
+            e_prev = jax.lax.pmin(jnp.where(
+                inb, E_l[jnp.clip(lp, 0, rows_per - 1)], jnp.inf), "data")
+            prev_is_min = has_prev & found & (e_prev <= dmin)
+            nn = jnp.where(prev_is_min, prev, nn_any.astype(i32))
+
+            do_merge = prev_is_min
+            do_block = ~found
+            do_extend = found & ~prev_is_min
+
+            keep = jnp.minimum(top, prev)
+            drop = jnp.maximum(top, prev)
+            s_a = sizes[top]
+            s_b = sizes[prev]
+            s_new = s_a + s_b
+            c_prev = fetch_row(cents_l, prev)
+            c_new = (s_a.astype(f32) * c_top
+                     + s_b.astype(f32) * c_prev) / s_new.astype(f32)
+            bhi = jnp.maximum(births[top], births[prev])
+            blo = jnp.minimum(births[top], births[prev])
+
+            # owner-local write of the merged centroid row
+            lk = keep - row0
+            owned = (lk >= 0) & (lk < rows_per)
+            safe = jnp.clip(lk, 0, rows_per - 1)
+            new_row = jnp.where(owned & do_merge, c_new, cents_l[safe])
+            cents_l = cents_l.at[safe].set(new_row)
+
+            sizes = jnp.where(
+                do_merge, sizes.at[keep].set(s_new).at[drop].set(0), sizes)
+            births = jnp.where(do_merge, births.at[keep].set(counter), births)
+            active = jnp.where(do_merge, active.at[drop].set(False), active)
+            log = jnp.where(
+                do_merge, log.at[step].set(jnp.stack([bhi, blo, counter])),
+                log)
+            heights = jnp.where(do_merge, heights.at[step].set(dmin), heights)
+            blocked = jnp.where(do_block, blocked.at[top].set(True), blocked)
+            chain = jnp.where(do_extend, chain.at[clen].set(nn), chain)
+            clen = jnp.where(do_merge, clen - 2,
+                             jnp.where(do_block, clen - 1, clen + 1))
+            counter = jnp.where(do_merge, counter + 1, counter)
+            step = jnp.where(do_merge, step + 1, step)
+            n_unb = n_unb - jnp.where(do_merge | do_block, 1, 0).astype(i32)
+
+            return (cents_l, sizes, births, active, blocked, chain, clen,
+                    log, heights, step, counter, n_unb, it + 1)
+
+        def cond(carry):
+            return (carry[11] >= 2) & (carry[12] < seg_iters)
+
+        return jax.lax.while_loop(cond, body, (*carry[:12], jnp.int32(0)))
+
+    spec = (P("data", None), *([P()] * 12))
+    fn = shard_map(
+        seg, mesh=mesh,
+        in_specs=(spec, P(), P()),
+        out_specs=spec,
+        check_vma=False,
+    )
+    jitted = jax.jit(fn, donate_argnums=(0,))
+    _MESH_CHAIN_SEGMENTS[mesh] = jitted
+    return jitted
+
+
 def _segment_iters(n_pad: int, d: int) -> int:
     """Iterations per device program, sized to ~10-15 s of device time: each
     iteration streams the (n_pad, d) centroid matrix once (plus constant
@@ -190,15 +329,28 @@ def _segment_iters(n_pad: int, d: int) -> int:
     return int(max(2048, min(1 << 17, 12.0 / t_iter)))
 
 
-def _chain_loop(x_pad: jax.Array, n_items: int, max_size: int):
+def _chain_loop(x_pad: jax.Array, n_items: int, max_size: int, mesh=None):
     """Run the NN-chain to exhaustion in bounded-length device segments.
 
-    Returns (log (n_pad, 3) i32 [birth_hi, birth_lo, new_birth],
-    heights (n_pad,) f32, step count).
+    With ``mesh``, the centroid matrix row-shards over the 'data' axis
+    (:func:`_mesh_chain_segment`) — bit-identical trajectory, aggregate
+    bandwidth and HBM. Returns (log (n_pad, 3) i32 [birth_hi, birth_lo,
+    new_birth], heights (n_pad,) f32, step count).
     """
     n_pad, d = x_pad.shape
     carry = _chain_start(x_pad, jnp.int32(n_items))
-    seg = _segment_iters(n_pad, d)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape["data"]
+        shardings = (NamedSharding(mesh, P("data", None)),
+                     *([NamedSharding(mesh, P())] * 12))
+        carry = jax.device_put(tuple(carry), shardings)
+        segment = _mesh_chain_segment(mesh)
+        seg = _segment_iters(n_pad // ndev, d)
+    else:
+        segment = _chain_segment
+        seg = _segment_iters(n_pad, d)
     # Each iteration performs exactly one of {merge, block, extend}; pushes
     # are bounded by pops + n, so <= ~8n iterations total — the segment cap
     # is a backstop against a logic bug turning into a hang.
@@ -206,7 +358,7 @@ def _chain_loop(x_pad: jax.Array, n_items: int, max_size: int):
     ms = jnp.int32(max_size)
     si = jnp.int32(seg)
     for _ in range(max_segments):
-        carry = _chain_segment(carry, ms, si)
+        carry = segment(carry, ms, si)
         if int(carry[11]) < 2:  # n_unblocked — one scalar sync per segment
             break
     else:
@@ -266,6 +418,7 @@ def constrained_ward_chain(
     min_size: int = 3,
     max_size: int = 6,
     reassign_dropped: bool = True,
+    mesh=None,
 ) -> ClusterResult:
     """Size-constrained Ward via nearest-neighbor chains: the greedy
     engine's partition (wherever merge distances are distinct) without its
@@ -292,10 +445,11 @@ def constrained_ward_chain(
     """
     if isinstance(embeddings, jax.Array):
         feats = embeddings.astype(jnp.float32)
-        if len(feats.sharding.device_set) > 1:
-            # single-device engine by design (config.py scale_engine docs):
-            # consolidate mesh-sharded features instead of letting GSPMD
-            # partition the while_loop into per-iteration collectives
+        if mesh is None and len(feats.sharding.device_set) > 1:
+            # no mesh requested: consolidate mesh-sharded features instead
+            # of letting GSPMD partition the while_loop into per-iteration
+            # collectives (the sharded path is the explicit shard_map
+            # program, taken only with mesh=)
             feats = jax.device_put(feats, next(iter(feats.devices())))
     else:
         feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
@@ -310,12 +464,16 @@ def constrained_ward_chain(
     n_target = calculate_optimal_clusters(n, min_size, max_size)
 
     n_pad = _pad_len(n)
+    if mesh is not None:
+        ndev = mesh.shape["data"]
+        block = 128 * ndev
+        n_pad = ((n_pad + block - 1) // block) * block
     if n_pad != n:
         feats_p = jnp.concatenate(
             [feats, jnp.zeros((n_pad - n, d), feats.dtype)])
     else:
         feats_p = feats
-    log, heights, steps = _chain_loop(feats_p, n, max_size)
+    log, heights, steps = _chain_loop(feats_p, n, max_size, mesh=mesh)
     m = int(steps)
     log = np.asarray(log)[:m]
     heights = np.asarray(heights)[:m]

@@ -60,8 +60,8 @@ class ClusterConfig:
     # Scale engine for jobs above exact_limit: "bucketed" (k-means buckets +
     # vmapped per-bucket merges; approximates the global merge order, mesh-
     # shardable) or "chain" (nearest-neighbor-chain: the greedy engine's
-    # exact partition wherever merge distances are distinct, O(n*d) memory,
-    # single device).
+    # exact partition wherever merge distances are distinct, O(n*d) memory;
+    # with a mesh the centroid matrix row-shards over 'data').
     scale_engine: str = "bucketed"
     # Bucket capacity for the scalable engine (images per independently
     # clustered bucket; buckets run vmapped / sharded across devices).

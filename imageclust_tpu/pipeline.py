@@ -309,6 +309,7 @@ class Pipeline:
                     features, item_ids,
                     min_size=min_size, max_size=max_size,
                     reassign_dropped=cfg.cluster.scale_reassign_dropped,
+                    mesh=self.mesh,
                 )
             elif cfg.cluster.scale_engine != "bucketed":
                 # fail loud: a typo must not silently run the bucketed

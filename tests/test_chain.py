@@ -177,6 +177,21 @@ class TestRobustness:
             frozenset({0, 1, 2}), frozenset({3})}
         assert list(applied) == [0, 1]
 
+    def test_mesh_engine_matches_single_device(self, gauss, mesh8):
+        # the shard_map chain (cents row-sharded over 'data') must produce
+        # the exact same partition as the single-device loop — the
+        # per-step psum/pmin formulation is bit-identical by construction
+        for n, mn, mx in [(100, 3, 6), (257, 2, 9)]:
+            x = gauss(n)
+            ref = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False)
+            got = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False,
+                mesh=mesh8)
+            assert _partition(got) == _partition(ref)
+            assert set(got.dropped) == set(ref.dropped)
+            np.testing.assert_array_equal(got.merges, ref.merges)
+
     def test_mesh_sharded_input_consolidates(self, gauss, mesh8):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
