@@ -117,7 +117,11 @@ def _forward(
     def body_conv(p, key, x, stride=1, pad=0):
         if quant:
             return _qconv(p, x, stride, pad, act_dtype)
-        stats[key] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        ax = jnp.abs(x.astype(jnp.float32))
+        # absmax + 99.9th percentile, both captured in the one calibration
+        # pass; quantize_resnet50 picks per calib_method
+        stats[key] = jnp.stack(
+            [jnp.max(ax), jnp.quantile(ax.reshape(-1), 0.999)])
         return _fconv(p, x, stride, pad, act_dtype)
 
     # stem: unquantized (8-bit input range; see module docstring)
@@ -168,16 +172,24 @@ def quantize_resnet50(
     calib_images,  # (B, H, W, 3) or (B, 3, H, W) float, normalized
     *,
     margin: float = 1.05,
+    calib_method: str = "absmax",
 ) -> dict:
     """Fold BN, calibrate activation scales on ``calib_images`` (one f32
     forward), and quantize every bottleneck conv to per-channel int8.
 
     ``variables`` is the standard ``ResNet50V1`` tree (params +
     batch_stats), e.g. from ``load_onnx_params``. ``margin`` inflates the
-    observed absmax to absorb activation spread beyond the calibration
+    observed statistic to absorb activation spread beyond the calibration
     sample (clipping is otherwise unbounded error; 5% is the usual PTQ
-    compromise). Returns the qparams pytree for :func:`quant_apply`.
+    compromise). ``calib_method``: "absmax" (no clipping inside the
+    calibration sample) or "p999" (99.9th percentile — trades clipping the
+    top 0.1% of activations for 8-bit resolution where the mass is; the
+    standard choice when real data has heavy-tailed activations). Returns
+    the qparams pytree for :func:`quant_apply`.
     """
+    if calib_method not in ("absmax", "p999"):
+        raise ValueError(f"unknown calib_method {calib_method!r}")
+    stat_idx = 0 if calib_method == "absmax" else 1
     folded = fold_bn_variables(variables)["params"]
     calib = jnp.asarray(np.asarray(calib_images, np.float32))
     _, _, stats = _calib_forward(folded, calib)
@@ -195,7 +207,7 @@ def quantize_resnet50(
                 w_scale = np.maximum(
                     np.abs(w).max(axis=(0, 1, 2)) / 127.0, _EPS)
                 wq = np.clip(np.rint(w / w_scale), -127, 127).astype(np.int8)
-                sx = float(stats[f"{blk}/{conv}"]) * margin / 127.0
+                sx = float(stats[f"{blk}/{conv}"][stat_idx]) * margin / 127.0
                 q[blk][conv] = {
                     "kernel_q": jnp.asarray(wq),
                     "w_scale": jnp.asarray(w_scale.astype(np.float32)),

@@ -64,6 +64,21 @@ class TestQuantizeResNet50:
         assert cos_p.min() > 0.995, cos_p
         assert cos_l.min() > 0.99, cos_l
 
+    def test_p999_calibration(self, small_tower):
+        model, variables, calib, test = small_tower
+        q = quantize_resnet50(variables, calib, calib_method="p999")
+        _, pooled_q = jax.jit(quant_apply)(q, jnp.asarray(test))
+        _, pooled_f = model.apply(variables, jnp.asarray(test),
+                                  return_features=True)
+        assert _cosine(pooled_q, pooled_f).min() > 0.99
+        # p999 scales are <= absmax scales (strictly, with any spread)
+        qa = quantize_resnet50(variables, calib, calib_method="absmax")
+        blk = "stage2_block0"
+        assert float(q[blk]["conv1"]["act_scale"]) <= float(
+            qa[blk]["conv1"]["act_scale"])
+        with pytest.raises(ValueError, match="calib_method"):
+            quantize_resnet50(variables, calib, calib_method="kl")
+
     def test_quant_differs_from_f32(self, small_tower):
         # the path genuinely quantizes (not silently full precision)
         model, variables, calib, test = small_tower
