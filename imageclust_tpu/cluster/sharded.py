@@ -314,14 +314,34 @@ def _repair_buckets(
         return False
 
     # Spill overflow: keep the `capacity` closest items, re-home the rest.
+    # The non-preferred fallback uses a monotone cursor instead of place()'s
+    # from-zero scan: during this phase buckets only FILL (nothing empties),
+    # so "first bucket with space" never moves backwards — the cursor makes
+    # the fallback amortized O(n) where rescanning was quadratic once the
+    # popular buckets filled (measured: the dominant host cost at 300k+).
+    # The spill source `b` is full by construction, so the cursor never
+    # lands on it; placements are identical to the old scan.
+    cursor = 0
     for b in range(n_buckets):
         if len(buckets[b]) <= capacity:
             continue
         members = sorted(buckets[b], key=lambda i: own_d[i])
         buckets[b], spill = members[:capacity], members[capacity:]
         for i in spill:
-            if not place(i, b, lambda lst: len(lst) < capacity):
-                buckets[b].append(i)  # pragma: no cover — everything full
+            placed = False
+            for nb in top_pref[i]:
+                nb = int(nb)
+                if nb != b and len(buckets[nb]) < capacity:
+                    buckets[nb].append(i)
+                    placed = True
+                    break
+            if not placed:
+                while cursor < n_buckets and len(buckets[cursor]) >= capacity:
+                    cursor += 1
+                if cursor < n_buckets:
+                    buckets[cursor].append(i)
+                else:  # pragma: no cover — everything full
+                    buckets[b].append(i)
 
     # Dissolve under-min buckets into the members' preferred buckets. The
     # fallback only targets buckets that are already viable (>= min_size) —
@@ -350,89 +370,55 @@ def _repair_buckets(
     return [b for b in buckets if b]
 
 
-def _spill_bucket_local(
-    feats: jax.Array,
-    buckets: list[list[int]],
-    index_map: dict[int, list[int]],
-    cluster_bucket: dict[int, int],
-    dropped_idx: list[int],
-    max_size: int,
-) -> tuple[dict[int, list[int]], list[int]]:
-    """Item-level rescue for what the absorb phase couldn't place: an
-    under-min cluster whose WHOLE merge would break max_size everywhere can
-    still spill its members one by one into same-bucket clusters with room.
-
-    Touches only affected buckets: one device gather of <= bucket_size rows
-    per bucket, never the full (n, d) matrix (VERDICT r1 item 4's complaint
-    about the old host reassignment)."""
-    bucket_of = {i: bi for bi, members in enumerate(buckets) for i in members}
-    by_bucket: dict[int, list[int]] = {}
-    for i in dropped_idx:
-        by_bucket.setdefault(bucket_of[i], []).append(i)
-    still: list[int] = []
-    for bi, items in by_bucket.items():
-        cands = [c for c in index_map
-                 if cluster_bucket[c] == bi and len(index_map[c]) < max_size]
-        if not cands:
-            still.extend(items)
-            continue
-        rows = sorted({*items, *(k for c in cands for k in index_map[c])})
-        sub = np.asarray(feats[jnp.asarray(np.asarray(rows, np.int32))])
-        pos = {r: p for p, r in enumerate(rows)}
-        cents = np.stack([
-            sub[[pos[k] for k in index_map[c]]].mean(axis=0) for c in cands
-        ])
-        room = np.array([max_size - len(index_map[c]) for c in cands])
-        for i in items:
-            d2 = ((cents - sub[pos[i]]) ** 2).sum(axis=1)
-            placed = False
-            for ci in np.argsort(d2):
-                if room[ci] > 0:
-                    c = cands[ci]
-                    index_map[c].append(i)
-                    room[ci] -= 1
-                    cents[ci] += (sub[pos[i]] - cents[ci]) / len(index_map[c])
-                    placed = True
-                    break
-            if not placed:
-                still.append(i)
-    return index_map, still
-
-
-@partial(jax.jit, static_argnames=("c_pad", "k"))
-def _spill_candidates(feats, assign, sizes, drop_idx, c_pad, k, max_size):
-    """Device half of the global spill: centroids of every cluster by
-    segment-sum over the resident feature matrix, then each leftover item's
-    top-k nearest clusters that still have room. Only (m, k) indices cross
-    to the host."""
+@partial(jax.jit, static_argnames=("c_pad",))
+def _spill_centroids(feats, assign, sizes, c_pad):
+    """Once per spill round: every cluster's centroid by segment-sum over
+    the resident feature matrix (one streamed (n, d) pass)."""
     valid = assign >= 0
     seg = jnp.where(valid, assign, 0)
     sums = jax.ops.segment_sum(
         feats * valid[:, None].astype(feats.dtype), seg, num_segments=c_pad
     )
-    cents = sums / jnp.maximum(sizes, 1)[:, None].astype(feats.dtype)
+    return sums / jnp.maximum(sizes, 1)[:, None].astype(feats.dtype)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
+                      cluster_bucket=None, item_bucket=None):
+    """Per chunk of leftover items: top-k nearest clusters that still have
+    room. Only (chunk, k) indices cross to the host. With
+    ``cluster_bucket``/``item_bucket``, candidates are restricted to the
+    item's OWN bucket (the bucket-local pass)."""
     dx = feats[drop_idx]
-    d2 = _sqdist(dx, cents)  # (m, c_pad)
+    d2 = _sqdist(dx, cents)  # (chunk, c_pad)
     d2 = jnp.where(sizes[None, :] < max_size, d2, jnp.inf)
+    if cluster_bucket is not None:
+        d2 = jnp.where(cluster_bucket[None, :] == item_bucket[:, None],
+                       d2, jnp.inf)
     _, cand = jax.lax.top_k(-d2, k)
     return cand
 
 
-def _spill_global(
+def _spill_rounds(
     feats: jax.Array,
     index_map: dict[int, list[int]],
     dropped_idx: list[int],
     max_size: int,
+    cluster_bucket: dict[int, int] | None = None,
+    item_bucket_of: dict[int, int] | None = None,
 ) -> tuple[dict[int, list[int]], list[int]]:
-    """Cross-bucket fallback for items whose own bucket is completely full:
-    place each into its nearest cluster with room anywhere in the job.
-    Candidate search runs on device (no (n, d) host pull).
+    """Greedy nearest-cluster-with-room placement, candidate search fully on
+    device — only (m, k) candidate indices ever cross to the host (the old
+    bucket-local pass pulled feature ROWS per affected bucket: measured 23 s
+    of pure tunnel transfer at 1M x 1000).
 
     Each round asks the device for every leftover item's top-k nearest
     clusters WITH ROOM and places greedily; when many leftovers contend for
     the same few candidates the round's room snapshot goes stale, so iterate
     — the next round re-snapshots sizes and searches again. Terminates when
-    a round places nothing (either nothing has room or nothing is left)."""
+    a round places nothing (either nothing has room or nothing is left).
+    With ``cluster_bucket``/``item_bucket_of``, placements are restricted to
+    each item's own bucket (locality-preserving first pass)."""
     still = list(dropped_idx)
     for _ in range(16):  # each round places >= 1 item or we stop
         cids = sorted(index_map)
@@ -448,11 +434,41 @@ def _spill_global(
         if not (sizes[: len(cids)] < max_size).any():
             break  # genuinely full everywhere
         k = min(8, len(cids))
-        cand = np.asarray(_spill_candidates(
-            feats, jnp.asarray(assign), jnp.asarray(sizes),
-            jnp.asarray(np.asarray(still, np.int32)),
-            c_pad, k, jnp.int32(max_size),
-        ))
+        cb = None
+        if cluster_bucket is not None:
+            cb = np.full(c_pad, -1, np.int32)
+            for p, c in enumerate(cids):
+                cb[p] = cluster_bucket[c]
+            cb = jnp.asarray(cb)
+        # chunked candidate queries: fixed padded width bounds the
+        # (chunk, c_pad) distance tile (m x c_pad at 1M-scale m would not
+        # fit) and keeps one compiled shape per round size class
+        CHUNK = 4096
+        sizes_d = jnp.asarray(sizes)
+        cents_d = _spill_centroids(
+            feats, jnp.asarray(assign), sizes_d, c_pad)
+        ms = jnp.int32(max_size)
+        cand_parts = []
+        for s in range(0, len(still), CHUNK):
+            part = still[s:s + CHUNK]
+            width = CHUNK if len(still) > CHUNK else (
+                1 << max(len(part) - 1, 0).bit_length())
+            idxs = np.zeros(width, np.int32)
+            idxs[: len(part)] = part
+            if cb is None:
+                masks = ()
+            else:
+                ib = np.zeros(width, np.int32)
+                ib[: len(part)] = [item_bucket_of[i] for i in part]
+                ib[len(part):] = -2  # padding matches no bucket
+                masks = (cb, jnp.asarray(ib))
+            out = np.asarray(_spill_candidates(
+                feats, cents_d, sizes_d, jnp.asarray(idxs),
+                k, ms, *masks,
+            ))
+            cand_parts.append(out[: len(part)])
+        cand = np.concatenate(cand_parts) if cand_parts else np.zeros(
+            (0, k), np.int32)
         room = {p: max_size - int(sizes[p]) for p in range(len(cids))}
         next_still: list[int] = []
         for row, item in enumerate(still):
@@ -468,6 +484,35 @@ def _spill_global(
             break  # no progress: every leftover's candidates are full
         still = next_still
     return index_map, still
+
+
+def _spill_bucket_local(
+    feats: jax.Array,
+    buckets: list[list[int]],
+    index_map: dict[int, list[int]],
+    cluster_bucket: dict[int, int],
+    dropped_idx: list[int],
+    max_size: int,
+) -> tuple[dict[int, list[int]], list[int]]:
+    """Item-level rescue for what the absorb phase couldn't place: an
+    under-min cluster whose WHOLE merge would break max_size everywhere can
+    still spill its members one by one into same-bucket clusters with room.
+    Device-side candidate search restricted to each item's own bucket."""
+    bucket_of = {i: bi for bi, members in enumerate(buckets) for i in members}
+    return _spill_rounds(feats, index_map, dropped_idx, max_size,
+                         cluster_bucket=cluster_bucket,
+                         item_bucket_of=bucket_of)
+
+
+def _spill_global(
+    feats: jax.Array,
+    index_map: dict[int, list[int]],
+    dropped_idx: list[int],
+    max_size: int,
+) -> tuple[dict[int, list[int]], list[int]]:
+    """Cross-bucket fallback for items whose own bucket is completely full:
+    place each into its nearest cluster with room anywhere in the job."""
+    return _spill_rounds(feats, index_map, dropped_idx, max_size)
 
 
 def _bucket_target(count: int, min_size: int, max_size: int) -> int:
