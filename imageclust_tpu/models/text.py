@@ -115,17 +115,39 @@ class TextTransformer(nn.Module):
 
 
 class TextEncoder:
-    """Batched text embedding with the offline hashing tokenizer."""
+    """Batched text embedding.
+
+    Tokenization: the real CLIP byte-level BPE when a merges file is
+    available (``bpe_path`` argument, else ``IMAGECLUST_BPE_PATH`` /
+    the conventional filename — models/tokenizer.py), falling back to the
+    deterministic offline hashing tokenizer. With BPE, ``<|endoftext|>``
+    carries the highest id, so the tower's argmax pooling convention
+    (eot_id=None) applies and ids match CLIP's vocabulary — real
+    CLIPTextModel checkpoints plug in via ``variables``."""
 
     def __init__(self, cfg: TextConfig | None = None, seed: int = 0,
-                 variables: dict | None = None):
-        self.cfg = cfg or TextConfig(width=256, depth=4, heads=4,
-                                     proj_dim=512, vocab=16384, eot_id=2)
-        if self.cfg.eot_id is None:
-            # TextEncoder always tokenizes with hash_tokenize (<end> = 2)
-            import dataclasses
+                 variables: dict | None = None, bpe_path: str | None = None):
+        import dataclasses
+        import os
 
-            self.cfg = dataclasses.replace(self.cfg, eot_id=2)
+        from imageclust_tpu.models.tokenizer import (
+            BPETokenizer,
+            default_bpe_path,
+        )
+
+        path = bpe_path or default_bpe_path()
+        self.tokenizer = None
+        if os.path.exists(path):
+            base = cfg or TextConfig()
+            self.tokenizer = BPETokenizer(path, context=base.context)
+            self.cfg = dataclasses.replace(
+                base, vocab=self.tokenizer.vocab_size, eot_id=None)
+        else:
+            self.cfg = cfg or TextConfig(width=256, depth=4, heads=4,
+                                         proj_dim=512, vocab=16384, eot_id=2)
+            if self.cfg.eot_id is None:
+                # hash_tokenize's <end> is 2 (not the highest id)
+                self.cfg = dataclasses.replace(self.cfg, eot_id=2)
         self.model = TextTransformer(self.cfg)
         if variables is None:
             dummy = jnp.zeros((1, self.cfg.context), jnp.int32)
@@ -133,8 +155,11 @@ class TextEncoder:
         self.variables = variables
         self._fn = jax.jit(self.model.apply)
 
+    def tokenize(self, text: str) -> np.ndarray:
+        if self.tokenizer is not None:
+            return self.tokenizer(text)
+        return hash_tokenize(text, self.cfg.vocab, self.cfg.context)
+
     def encode(self, texts: list[str]) -> np.ndarray:
-        toks = np.stack([
-            hash_tokenize(t, self.cfg.vocab, self.cfg.context) for t in texts
-        ])
+        toks = np.stack([self.tokenize(t) for t in texts])
         return np.asarray(self._fn(self.variables, jnp.asarray(toks)))
