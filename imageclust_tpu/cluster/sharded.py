@@ -395,8 +395,11 @@ def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
     if cluster_bucket is not None:
         d2 = jnp.where(cluster_bucket[None, :] == item_bucket[:, None],
                        d2, jnp.inf)
-    _, cand = jax.lax.top_k(-d2, k)
-    return cand
+    vals, cand = jax.lax.top_k(-d2, k)
+    # inf-masked entries still get top_k positions — mark them invalid so
+    # the placement loop can't place an item into a masked-out cluster
+    # (in the bucket-local pass EVERY other-bucket cluster is masked)
+    return jnp.where(jnp.isfinite(vals), cand, -1)
 
 
 def _spill_rounds(
@@ -474,7 +477,7 @@ def _spill_rounds(
         for row, item in enumerate(still):
             for p in cand[row]:
                 p = int(p)
-                if p < len(cids) and room.get(p, 0) > 0:
+                if 0 <= p < len(cids) and room.get(p, 0) > 0:
                     index_map[cids[p]].append(item)
                     room[p] -= 1
                     break

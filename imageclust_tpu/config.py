@@ -136,6 +136,11 @@ class EmbedConfig:
     # f32 tower: embeddings shift within quantization error (tests pin
     # cosine > 0.99 on the pooled features); cache tags include it.
     quantize: str = ""
+    # Activation-scale statistic for int8 calibration: "absmax" (no
+    # clipping inside the calibration sample) or "p999" (clip the top 0.1%
+    # for resolution where the mass is — the usual choice on heavy-tailed
+    # real-data activations).
+    calib_method: str = "absmax"
 
 
 @dataclass

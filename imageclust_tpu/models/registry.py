@@ -267,7 +267,8 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
             calib_u8 = np.random.default_rng(0).integers(
                 0, 256, (8, 224, 224, 3), np.uint8)
         calib = calib_u8.astype(np.float32)[..., ::-1] / 255.0  # BGR->RGB
-        qparams = quantize_resnet50(variables, calib)
+        qparams = quantize_resnet50(variables, calib,
+                                    calib_method=cfg.calib_method)
 
         def q_apply_fn(vars_, x):
             logits, feats = quant_apply(vars_, x)
@@ -364,8 +365,9 @@ def _weights_tag(cfg: EmbedConfig, seed: int) -> str:
     import hashlib
 
     # quantized towers produce different embeddings than full precision —
-    # the cache identity must separate them
-    q = f":{cfg.quantize}" if cfg.quantize else ""
+    # the cache identity must separate them (and the calibration statistic
+    # changes the activation scales, i.e. the embeddings)
+    q = f":{cfg.quantize}-{cfg.calib_method}" if cfg.quantize else ""
     if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
         st = os.stat(cfg.checkpoint_path)
         fp = hashlib.sha256(

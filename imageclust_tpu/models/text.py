@@ -138,8 +138,19 @@ class TextEncoder:
         path = bpe_path or default_bpe_path()
         self.tokenizer = None
         if os.path.exists(path):
-            base = cfg or TextConfig()
-            self.tokenizer = BPETokenizer(path, context=base.context)
+            try:
+                self.tokenizer = BPETokenizer(
+                    path, context=(cfg or TextConfig()).context)
+            except ImportError:  # `regex` absent: degrade, don't crash
+                self.tokenizer = None
+        if self.tokenizer is not None:
+            # full CLIP-base dims only make sense with a REAL checkpoint;
+            # at random init (variables=None) keep the small offline tower
+            # — 40x cheaper and no more meaningful at width 512
+            base = cfg or (
+                TextConfig() if variables is not None
+                else TextConfig(width=256, depth=4, heads=4, proj_dim=512,
+                                vocab=0))
             self.cfg = dataclasses.replace(
                 base, vocab=self.tokenizer.vocab_size, eot_id=None)
         else:

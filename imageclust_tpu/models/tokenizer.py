@@ -83,11 +83,13 @@ class BPETokenizer:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rt", encoding="utf-8") as fh:
             lines = fh.read().split("\n")
-        # CLIP's file leads with a "#version: ..." header; merges end at the
-        # count that makes the vocab 49,408. Every other nonempty
-        # "a b" line is a merge, rank = order.
-        merges = [tuple(ln.split()) for ln in lines
-                  if len(ln.split()) == 2 and not ln.startswith("#")]
+        # CLIP's file leads with a "#version: ..." header — skip ONLY that
+        # line (a merge whose left symbol begins with a literal '#', e.g.
+        # keycap-emoji byte sequences, is legitimate and must keep its
+        # rank). Every other "a b" line is a merge, rank = order.
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        merges = [tuple(ln.split()) for ln in lines if len(ln.split()) == 2]
         if len(merges) > 48894:
             merges = merges[:48894]
 

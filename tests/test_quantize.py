@@ -136,7 +136,7 @@ class TestRegistryIntegration:
         emb = create_embedder(EmbedConfig(
             model="resnet50", quantize="int8", batch_size=4,
             output="pooled", onnx_path=""))
-        assert ":int8:" in emb.tag
+        assert ":int8-absmax:" in emb.tag  # mode AND calib statistic
         imgs = np.random.default_rng(1).integers(
             0, 255, (4, 224, 224, 3), np.uint8)
         out = emb.embed(imgs)

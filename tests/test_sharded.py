@@ -150,6 +150,30 @@ class TestAbsorbPhase:
         for members in res.cluster_map.values():
             assert 3 <= len(members) <= 6
 
+    def test_bucket_local_spill_never_crosses_buckets(self):
+        # regression (review r2): with every own-bucket candidate masked to
+        # +inf, top_k still returns positions — those must come back
+        # invalid (-1), not as cross-bucket placements during the
+        # bucket-LOCAL pass; the item falls through to the global pass
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import _spill_bucket_local
+
+        # bucket 0: cluster 0 near origin WITH room; bucket 1: full
+        # cluster + a far dropped item at [100, 2]
+        feats = jnp.asarray(np.array(
+            [[0, 0], [0, 1], [1, 0],                     # cluster 0 (b0)
+             [100, 0], [100, 1], [101, 0], [101, 1],     # cluster 1 (b1)
+             [99, 0], [99, 1],                           # cluster 1 cont.
+             [100, 2]], np.float32))                      # dropped (b1)
+        buckets = [[0, 1, 2], [3, 4, 5, 6, 7, 8, 9]]
+        index_map = {0: [0, 1, 2], 1: [3, 4, 5, 6, 7, 8]}
+        cluster_bucket = {0: 0, 1: 1}
+        out_map, still = _spill_bucket_local(
+            feats, buckets, index_map, cluster_bucket, [9], max_size=6)
+        assert still == [9]           # own bucket full: NOT placed
+        assert out_map[0] == [0, 1, 2]  # and not into the other bucket
+
     def test_absorb_off_is_parity_drop(self, rng):
         from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
 

@@ -103,6 +103,17 @@ class TestBPE:
         tok = BPETokenizer(str(p), context=16)
         assert tok.encode_text("hello") == [tok.encoder["hello</w>"]]
 
+    def test_hash_symbol_merges_keep_their_rank(self, tmp_path):
+        # only the "#version" header line is skipped — a merge whose left
+        # symbol begins with '#' (keycap emoji byte sequences etc.) is
+        # legitimate and must not shift later ids
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: test\n# #\nh e\n")
+        tok = BPETokenizer(str(p), context=16)
+        assert ("#", "#") in tok.bpe_ranks and tok.bpe_ranks[("#", "#")] == 0
+        assert tok.bpe_ranks[("h", "e")] == 1
+        assert tok.vocab_size == 512 + 2 + 2
+
     def test_specials_pass_through(self, bpe):
         ids = bpe.encode_text("<|endoftext|>")
         assert ids == [bpe.eot_id]
