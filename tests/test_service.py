@@ -294,6 +294,42 @@ class TestConcurrency:
 
 
 class TestJobPruning:
+    def test_restart_marks_running_jobs_failed(self, tmp_path):
+        # failure injection (SURVEY §5 failure detection): a process crash
+        # mid-job leaves status "running" on disk; the next store over the
+        # same root must surface it as failed, not running forever
+        from imageclust_tpu.service.jobs import JobStore
+
+        store = JobStore(root=str(tmp_path))
+        job = store.create()
+        store.set_status(job, "running")
+        done = store.create()
+        store.set_status(done, "done")
+
+        recovered = JobStore(root=str(tmp_path))  # simulated restart
+        j = recovered.get(job.job_id)
+        assert j.status == "failed"
+        assert "interrupted by restart" in j.error
+        # finished jobs recover intact, and latest-done pointer survives
+        assert recovered.get(done.job_id).status == "done"
+        assert recovered.get(None).job_id == done.job_id
+
+    def test_restart_skips_corrupt_job_metadata(self, tmp_path):
+        import os
+
+        from imageclust_tpu.service.jobs import JobStore
+
+        store = JobStore(root=str(tmp_path))
+        ok = store.create()
+        store.set_status(ok, "done")
+        bad = store.create()
+        with open(os.path.join(bad.work_dir, "job.json"), "w") as fh:
+            fh.write("{truncated")  # torn write during a crash
+
+        recovered = JobStore(root=str(tmp_path))
+        assert recovered.get(ok.job_id).status == "done"
+        assert recovered.get(bad.job_id) is None  # skipped, not fatal
+
     def test_prune_keeps_latest_and_recent(self, tmp_path):
         import time as _time
 
