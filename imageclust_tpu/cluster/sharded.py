@@ -423,7 +423,11 @@ def _spill_rounds(
     With ``cluster_bucket``/``item_bucket_of``, placements are restricted to
     each item's own bucket (locality-preserving first pass)."""
     still = list(dropped_idx)
-    for _ in range(16):  # each round places >= 1 item or we stop
+    # every productive round places >= 1 item, so rounds are bounded by the
+    # dropped count; a fixed small cap here would silently re-drop
+    # still-placeable items under heavy candidate contention (k=8 nearest
+    # per round), violating the engine's no-image-loss default
+    for _ in range(len(still) + 1):
         cids = sorted(index_map)
         if not cids or not still:
             break
@@ -562,6 +566,8 @@ def constrained_ward_bucketed(
     n, d = feats.shape
     if ids is None:
         ids = [f"img_{i}" for i in range(n)]
+    if len(ids) != n:  # fail fast like the sibling engines
+        raise ValueError("ids length must match embeddings")
     calculate_optimal_clusters(n, min_size, max_size)  # global feasibility
 
     fill = max(min_size, int(bucket_size * 0.75))
@@ -636,13 +642,32 @@ def constrained_ward_bucketed(
     cluster_bucket: dict[int, int] = {}
     dropped_idx: list[int] = []
     all_logs: list[np.ndarray] = []
+    next_internal = n  # global stamp space for exported merges
     cid = 0
     for bi, members in enumerate(buckets):
         c = len(members)
         if c == 0:
             continue
         log_b = logs[bi][: int(steps[bi])]
-        all_logs.append(log_b)
+        if len(log_b):
+            # Re-stamp the bucket-LOCAL log into one global birth space so
+            # ClusterResult.merges is a valid dendrogram like the exact and
+            # chain engines': leaf stamps (< c) become global item indices;
+            # internal stamps become fresh ids past n. The bucket loop
+            # assigns internal births sequentially (new = c + row), so the
+            # internal remap is just an offset.
+            marr = np.asarray(members, np.int32)
+            base = next_internal
+
+            def restamp(col):
+                return np.where(col < c, marr[np.clip(col, 0, c - 1)],
+                                base + (col - c)).astype(np.int32)
+
+            all_logs.append(np.stack([
+                restamp(log_b[:, 0]), restamp(log_b[:, 1]),
+                base + np.arange(len(log_b), dtype=np.int32),
+            ], axis=1))
+            next_internal += len(log_b)
         children = {int(new): (int(hi), int(lo)) for hi, lo, new in log_b}
         surviving = sorted(int(b) for b in births[bi][active[bi]])
         for birth in surviving:

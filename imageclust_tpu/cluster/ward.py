@@ -172,14 +172,12 @@ def _merge_body(
     *,
     max_size: jax.Array,
     update_rule: str,
-    halt: jax.Array | None = None,
     absorb_min: jax.Array | None = None,
 ) -> _LoopState:
-    """One gated merge step. ``halt`` (optional traced bool) folds an outer
-    stop condition (e.g. num_active <= target in the fixed-trip bucketed
-    loop) into the body's own no-op gate — cheaper than re-gating the whole
-    state in a wrapper. ``absorb_min`` switches the feasibility mask to the
-    absorb phase: only pairs involving a below-min cluster merge."""
+    """One gated merge step: if no feasible pair remains the body is a
+    no-op and the loop exits via ``found``. ``absorb_min`` switches the
+    feasibility mask to the absorb phase: only pairs involving a below-min
+    cluster merge."""
     f32 = jnp.float32
     b = state.births
 
@@ -193,8 +191,7 @@ def _merge_body(
         state.D, b, state.sizes, state.active, max_size,
         require_under=absorb_min,
     )
-    found = jnp.isfinite(dmin)
-    proceed = found if halt is None else (found & halt)
+    proceed = found = jnp.isfinite(dmin)
 
     sa = jnp.argmax(b == m1)  # slot of Go's clusters[i] (later in list)
     sb = jnp.argmax(b == m2)  # slot of Go's clusters[j]
@@ -424,7 +421,7 @@ def _sharded_merge_loop(mesh, update_rule: str):
     cannot hold the n^2 matrix (n=100k needs 40 GB; 5 GB/chip on v5e-8).
     """
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     key = (mesh, update_rule)  # Mesh is hashable; id() could alias after GC
     if key in _SHARDED_LOOPS:

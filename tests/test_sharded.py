@@ -150,6 +150,28 @@ class TestAbsorbPhase:
         for members in res.cluster_map.values():
             assert 3 <= len(members) <= 6
 
+    def test_merges_form_global_dendrogram(self, rng):
+        # review r2: per-bucket logs used bucket-LOCAL birth stamps, so the
+        # concatenated merges field had colliding ids — it must be one
+        # globally consistent dendrogram (leaves = item indices, internal
+        # stamps unique past n, children defined before their parent)
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        n = 300
+        x = rng.normal(size=(n, 8)).astype(np.float32)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64)
+        m = res.merges
+        new = m[:, 2].tolist()
+        assert len(set(new)) == len(new)
+        assert (m[:, 2] >= n).all()
+        alive = set(range(n))
+        for hi, lo, nw in m:
+            assert int(hi) in alive and int(lo) in alive
+            alive.discard(int(hi))
+            alive.discard(int(lo))
+            alive.add(int(nw))
+
     def test_bucket_local_spill_never_crosses_buckets(self):
         # regression (review r2): with every own-bucket candidate masked to
         # +inf, top_k still returns positions — those must come back
