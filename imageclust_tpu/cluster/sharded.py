@@ -53,42 +53,39 @@ _KMEANS_BLOCK = 1 << 16  # rows per assignment block: caps the (block, k)
 # distance tile so million-image jobs never materialize an (n, k) matrix
 
 
-def _pad_rows(x: jax.Array, block: int):
-    n = x.shape[0]
-    n_pad = int(math.ceil(n / block)) * block
-    if n_pad == n:
-        return x, n
-    pad = jnp.zeros((n_pad - n, x.shape[1]), x.dtype)
-    return jnp.concatenate([x, pad]), n
-
-
 @partial(jax.jit, static_argnames=("k", "iters", "top_k", "block"))
 def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
            top_k: int = _TOP_PREF, block: int = _KMEANS_BLOCK):
     """Lloyd's k-means on device, block-scanned over rows.
 
     Distances are MXU matmuls computed one (block, k) tile at a time under
-    ``lax.scan`` — HBM stays O(n*d + k*d + block*k) so the 1M-image tier
-    fits. Returns (centroids (k,d), assign (n,), own_d (n,), top_pref
-    (n,top_k)) — everything the host-side capacity repair needs, a few bytes
-    per item instead of the full (n,k) matrix.
+    ``lax.scan``; blocks are read from the ORIGINAL feature buffer via
+    ``dynamic_slice`` (an earlier version concatenated a zero-padded copy
+    of the whole matrix — a second (n, d) allocation that OOMed the 2M-row
+    tier), with only the sub-block tail materialized padded. HBM stays
+    O(n*d + k*d + block*k). Returns (centroids (k,d), assign (n,), own_d
+    (n,), top_pref (n,top_k)) — everything the host-side capacity repair
+    needs, a few bytes per item instead of the full (n,k) matrix.
     """
-    n_real = x.shape[0]
+    n_real, d = x.shape
     block = min(block, 1 << (max(n_real - 1, 1)).bit_length())
-    xp, _ = _pad_rows(x, block)
-    n_pad, d = xp.shape
-    n_blocks = n_pad // block
-    xb = xp.reshape(n_blocks, block, d)
+    n_main = (n_real // block) * block
+    n_blocks = n_main // block
+    # tail: the only padded copy, < block rows
+    tail_n = n_real - n_main
+    tail = jnp.zeros((block, d), x.dtype)
+    if tail_n:
+        tail = jax.lax.dynamic_update_slice_in_dim(
+            tail, jax.lax.dynamic_slice_in_dim(x, n_main, tail_n, 0), 0, 0)
+    tail_valid = jnp.arange(block) < tail_n
+
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.permutation(key, n_real)[:k]
     cents = x[init_idx]
-    # padding rows get +inf distance weight via a validity mask
-    row_valid = (jnp.arange(n_pad) < n_real).reshape(n_blocks, block)
 
     def lloyd(cents, _):
-        def blk(carry, inp):
+        def accum(carry, rows, valid):
             sums, counts = carry
-            rows, valid = inp
             d2 = _sqdist(rows, cents)  # (block, k)
             assign = jnp.argmin(d2, axis=1)
             onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
@@ -98,12 +95,17 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
                 onehot, rows, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            return (sums, counts), None
+            return sums, counts
 
-        (sums, counts), _ = jax.lax.scan(
-            blk, (jnp.zeros((k, d), jnp.float32), jnp.zeros(k, jnp.float32)),
-            (xb, row_valid),
-        )
+        def blk(carry, i):
+            rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
+            return accum(carry, rows, jnp.ones(block, jnp.float32)), None
+
+        carry = (jnp.zeros((k, d), jnp.float32), jnp.zeros(k, jnp.float32))
+        if n_blocks:  # static: scan traces its body even at length 0
+            carry, _ = jax.lax.scan(
+                blk, carry, jnp.arange(n_blocks, dtype=jnp.int32))
+        sums, counts = accum(carry, tail, tail_valid.astype(jnp.float32))
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(counts[:, None] > 0, new, cents), None
 
@@ -111,20 +113,30 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
 
     kk = min(top_k, k)
 
-    def final_blk(_, rows):
+    def summarize(rows):
         d2 = _sqdist(rows, cents)
         assign = jnp.argmin(d2, axis=1)
         own = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
         _, pref = jax.lax.top_k(-d2, kk)
-        return None, (assign, own, pref)
+        return assign, own, pref
 
-    _, (assign, own_d, top_pref) = jax.lax.scan(final_blk, None, xb)
-    return (
-        cents,
-        assign.reshape(-1)[:n_real],
-        own_d.reshape(-1)[:n_real],
-        top_pref.reshape(-1, kk)[:n_real],
-    )
+    def final_blk(_, i):
+        rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
+        return None, summarize(rows)
+
+    t_assign, t_own, t_pref = summarize(tail)
+    if n_blocks:
+        _, (assign, own_d, top_pref) = jax.lax.scan(
+            final_blk, None, jnp.arange(n_blocks, dtype=jnp.int32))
+        assign = jnp.concatenate([assign.reshape(-1), t_assign])[:n_real]
+        own_d = jnp.concatenate([own_d.reshape(-1), t_own])[:n_real]
+        top_pref = jnp.concatenate(
+            [top_pref.reshape(-1, kk), t_pref])[:n_real]
+    else:
+        assign = t_assign[:n_real]
+        own_d = t_own[:n_real]
+        top_pref = t_pref[:n_real]
+    return cents, assign, own_d, top_pref
 
 
 def _sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -191,16 +203,54 @@ def _bucket_merge_loop(
 
 @partial(jax.jit, static_argnames=("update_rule", "absorb"),
          donate_argnums=())
-def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
-                 update_rule="lance_williams", absorb=True):
-    """Gather each bucket's rows from the device-resident feature matrix and
-    vmap the merge loop over the bucket axis (single-device path)."""
-    xs = feats[bucket_idx]  # (nb, B, d) — device-side gather, no host trip
+def _bucket_chunk(feats, bucket_idx, counts, targets, max_size, min_size,
+                  update_rule="lance_williams", absorb=True):
+    """One chunk of buckets: gather their rows from the device-resident
+    feature matrix and vmap the merge loop over the chunk's bucket axis."""
+    xs = feats[bucket_idx]  # (chunk, B, d) — device-side gather, no host trip
     amin = min_size if absorb else None
     return jax.vmap(
         lambda x, c, t: _bucket_merge_loop(x, c, t, max_size, update_rule,
                                            absorb_min=amin)
     )(xs, counts, targets)
+
+
+# buckets per dispatch: bounds the gathered working set at
+# chunk * bucket_size * d floats so it never mirrors the whole feature
+# matrix — an un-chunked feats[bucket_idx] is a second full (n, d) copy in
+# HBM, halving the single-chip capacity ceiling
+_BUCKET_CHUNK = 1024
+
+
+def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
+                 update_rule="lance_williams", absorb=True):
+    """Single-device bucket engine, chunked over the bucket axis. Each
+    chunk dispatches independently (the chunks pipeline on device); outputs
+    are concatenated on the host side as numpy by the caller."""
+    nb = bucket_idx.shape[0]
+    if nb <= _BUCKET_CHUNK:
+        return _bucket_chunk(feats, bucket_idx, counts, targets, max_size,
+                             min_size, update_rule=update_rule, absorb=absorb)
+    outs = []
+    for s in range(0, nb, _BUCKET_CHUNK):
+        e = min(s + _BUCKET_CHUNK, nb)
+        # pad the tail chunk to the full chunk width (empty buckets merge
+        # zero times) so every dispatch shares ONE compiled shape
+        pad = _BUCKET_CHUNK - (e - s)
+        bi = bucket_idx[s:e]
+        ct = counts[s:e]
+        tg = targets[s:e]
+        if pad:
+            bi = jnp.concatenate(
+                [bi, jnp.zeros((pad, bi.shape[1]), bi.dtype)])
+            ct = jnp.concatenate([ct, jnp.zeros(pad, ct.dtype)])
+            tg = jnp.concatenate([tg, jnp.zeros(pad, tg.dtype)])
+        out = _bucket_chunk(feats, bi, ct, tg, max_size, min_size,
+                            update_rule=update_rule, absorb=absorb)
+        outs.append(out if not pad
+                    else tuple(o[: e - s] for o in out))
+    return tuple(jnp.concatenate([o[i] for o in outs])
+                 for i in range(len(outs[0])))
 
 
 def _plan_exchange(buckets, n_pad_rows: int, ndev: int, bucket_size: int):

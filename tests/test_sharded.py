@@ -150,6 +150,23 @@ class TestAbsorbPhase:
         for members in res.cluster_map.values():
             assert 3 <= len(members) <= 6
 
+    def test_bucket_chunking_matches_unchunked(self, rng, monkeypatch):
+        # the chunked bucket dispatch (bounds the gathered working set so it
+        # never mirrors the full feature matrix) must be result-identical
+        # to one big vmap, including across a padded tail chunk
+        import imageclust_tpu.cluster.sharded as sh
+
+        x = rng.normal(size=(400, 8)).astype(np.float32)
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        monkeypatch.setattr(sh, "_BUCKET_CHUNK", 8)
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        assert ({frozenset(m) for m in got.cluster_map.values()}
+                == {frozenset(m) for m in ref.cluster_map.values()})
+        assert got.dropped == ref.dropped
+        np.testing.assert_array_equal(got.merges, ref.merges)
+
     def test_merges_form_global_dendrogram(self, rng):
         # review r2: per-bucket logs used bucket-LOCAL birth stamps, so the
         # concatenated merges field had colliding ids — it must be one
