@@ -69,6 +69,10 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
     """
     n_real, d = x.shape
     block = min(block, 1 << (max(n_real - 1, 1)).bit_length())
+    # cap the (block, k) distance tile at ~1.5 GB: at 10M rows k is ~52k
+    # buckets and the default 64k block would need a 13.7 GB tile
+    while block > 2048 and block * k * 4 > (3 << 29):
+        block //= 2
     n_main = (n_real // block) * block
     n_blocks = n_main // block
     # tail: the only padded copy, < block rows
