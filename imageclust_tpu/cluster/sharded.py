@@ -576,6 +576,51 @@ def _spill_global(
     return _spill_rounds(feats, index_map, dropped_idx, max_size)
 
 
+def _native_reconstruction(buckets, logs, steps, births, active):
+    """Flatten per-bucket state for the native member-expansion pass
+    (data/native.py ic_reconstruct_members). Returns (global member indices
+    concatenated in (bucket, sorted-root) order, per-root sizes, per-root
+    bucket id) — exactly the python walk's iteration order — or None when
+    the native lib is absent."""
+    from imageclust_tpu.data.native import native_reconstruct_members
+
+    nb = len(buckets)
+    counts = np.asarray([len(b) for b in buckets], np.int32)
+    if not counts.sum():
+        return None
+    B1 = logs.shape[1]
+    m_per = np.minimum(steps.astype(np.int64), B1)
+    row_mask = np.arange(B1)[None, :] < m_per[:, None]
+    flat_logs = logs[row_mask]  # (sum_m, 3), bucket order
+    log_off = np.zeros(nb + 1, np.int64)
+    log_off[1:] = np.cumsum(m_per)
+    counts_off = np.zeros(nb + 1, np.int64)
+    counts_off[1:] = np.cumsum(counts)
+    # surviving roots per bucket, ascending (actives sort before the
+    # sentinel) — same order the python walk visits
+    sentinel = np.int32(2**31 - 1)
+    masked = np.sort(np.where(active, births, sentinel), axis=1)
+    n_roots = active.sum(axis=1).astype(np.int64)
+    roots_flat = masked[np.arange(masked.shape[1])[None, :]
+                        < n_roots[:, None]].astype(np.int32)
+    root_off = np.zeros(nb + 1, np.int64)
+    root_off[1:] = np.cumsum(n_roots)
+
+    out = native_reconstruct_members(
+        flat_logs, log_off, counts, counts_off, roots_flat, root_off)
+    if out is None:
+        return None
+    members_loc, sizes = out
+    # bucket-local member index -> global item id: members_flat is each
+    # bucket's global ids laid out in the same per-bucket regions as the
+    # native output, so adding the per-entry bucket base aligns them
+    members_flat = np.concatenate(
+        [np.asarray(b, np.int64) for b in buckets if b])
+    bases = np.repeat(counts_off[:-1], counts)
+    members_glob = members_flat[members_loc.astype(np.int64) + bases]
+    return members_glob, sizes, np.repeat(np.arange(nb), n_roots)
+
+
 def _bucket_target(count: int, min_size: int, max_size: int) -> int:
     """Per-bucket cluster-count target. Falls back to ceil(count/max_size)
     when the (min,max) pair is infeasible for this count — scalable-mode
@@ -722,17 +767,42 @@ def constrained_ward_bucketed(
                 base + np.arange(len(log_b), dtype=np.int32),
             ], axis=1))
             next_internal += len(log_b)
-        children = {int(new): (int(hi), int(lo)) for hi, lo, new in log_b}
-        surviving = sorted(int(b) for b in births[bi][active[bi]])
-        for birth in surviving:
-            local = _leaf_indices(birth, c, children)
-            global_members = [members[k] for k in local]
-            if len(global_members) < min_size:
-                dropped_idx.extend(global_members)
+
+    # Member expansion: the native runtime's linked-list pass when present
+    # (the python dict-walk below was the largest host cost at the 10M tier,
+    # ~85 s), falling back to the identical-order python walk.
+    rec = _native_reconstruction(buckets, logs, steps, births, active)
+    if rec is not None:
+        members_glob, sizes, root_bucket = rec
+        off = 0
+        for ri in range(len(sizes)):
+            sz = int(sizes[ri])
+            mem = members_glob[off:off + sz].tolist()
+            off += sz
+            if sz < min_size:
+                dropped_idx.extend(mem)
                 continue
-            index_map[cid] = global_members
-            cluster_bucket[cid] = bi
+            index_map[cid] = mem
+            cluster_bucket[cid] = int(root_bucket[ri])
             cid += 1
+    else:
+        for bi, members in enumerate(buckets):
+            c = len(members)
+            if c == 0:
+                continue
+            log_b = logs[bi][: int(steps[bi])]
+            children = {int(new): (int(hi), int(lo))
+                        for hi, lo, new in log_b}
+            surviving = sorted(int(b) for b in births[bi][active[bi]])
+            for birth in surviving:
+                local = _leaf_indices(birth, c, children)
+                global_members = [members[k] for k in local]
+                if len(global_members) < min_size:
+                    dropped_idx.extend(global_members)
+                    continue
+                index_map[cid] = global_members
+                cluster_bucket[cid] = bi
+                cid += 1
 
     if reassign_dropped and dropped_idx:
         index_map, dropped_idx = _spill_bucket_local(

@@ -19,6 +19,7 @@ __all__ = [
     "native_preprocess_blob",
     "native_content_hash",
     "native_decode_resize",
+    "native_reconstruct_members",
 ]
 
 _LIB = None
@@ -59,7 +60,7 @@ def _load():
             # from an older checkout must not silently control preprocessing
             # (ADVICE r1). Rebuild with `make -C native`.
             try:
-                if lib.ic_version() < 2:
+                if lib.ic_version() < 3:
                     continue
             except AttributeError:
                 continue
@@ -68,6 +69,13 @@ def _load():
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int,
             ]
+            lib.ic_reconstruct_members.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int,
+            ]
+            lib.ic_reconstruct_members.restype = ctypes.c_int
             _LIB = lib
             break
     return _LIB
@@ -174,3 +182,39 @@ def native_decode_resize(data: bytes, size: int | None):
         # arithmetic, so tiny images take the cv2 path to stay identical.
         return native_resize_u8(img[None], size, size, threads=1)[0]
     return cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+
+
+def native_reconstruct_members(
+    logs: np.ndarray,        # (sum_m, 3) int32, buckets concatenated
+    log_off: np.ndarray,     # (nb+1,) int64
+    counts: np.ndarray,      # (nb,) int32 — leaves per bucket
+    counts_off: np.ndarray,  # (nb+1,) int64 prefix sum of counts
+    roots: np.ndarray,       # (total_roots,) int32, buckets concatenated
+    root_off: np.ndarray,    # (nb+1,) int64
+    threads: int = 8,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Expand per-bucket Ward merge logs into ordered member lists (the
+    bucketed engine's host reconstruction — see native/preproc.cpp for the
+    semantics; order matches ward._leaf_indices exactly). Returns
+    (members (sum counts,) int32 local indices, sizes (total_roots,) int32)
+    or None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    logs = np.ascontiguousarray(logs, np.int32)
+    log_off = np.ascontiguousarray(log_off, np.int64)
+    counts = np.ascontiguousarray(counts, np.int32)
+    counts_off = np.ascontiguousarray(counts_off, np.int64)
+    roots = np.ascontiguousarray(roots, np.int32)
+    root_off = np.ascontiguousarray(root_off, np.int64)
+    nb = counts.shape[0]
+    members = np.empty(int(counts_off[-1]), np.int32)
+    sizes = np.zeros(roots.shape[0], np.int32)
+    rc = lib.ic_reconstruct_members(
+        logs.ctypes.data, log_off.ctypes.data, counts.ctypes.data,
+        counts_off.ctypes.data, roots.ctypes.data, root_off.ctypes.data,
+        nb, members.ctypes.data, sizes.ctypes.data, max(1, threads),
+    )
+    if rc != 0:
+        raise ValueError("malformed merge log in native reconstruction")
+    return members, sizes

@@ -150,6 +150,27 @@ class TestAbsorbPhase:
         for members in res.cluster_map.values():
             assert 3 <= len(members) <= 6
 
+    def test_native_reconstruction_matches_python_walk(self, rng,
+                                                       monkeypatch):
+        # the C++ member expansion must be EXACTLY the python
+        # children-dict/_leaf_indices walk: same cluster ids, same member
+        # order (Go append order), same dropped list
+        import imageclust_tpu.cluster.sharded as sh
+        from imageclust_tpu.data.native import available
+
+        if not available():
+            pytest.skip("native lib not built (make -C native)")
+        x = rng.normal(size=(700, 12)).astype(np.float32)
+        fast = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=48)
+        monkeypatch.setattr(sh, "_native_reconstruction",
+                            lambda *a: None)  # force the python walk
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=48)
+        assert fast.cluster_map == ref.cluster_map  # ids AND member order
+        assert fast.dropped == ref.dropped
+        np.testing.assert_array_equal(fast.merges, ref.merges)
+
     def test_bucket_chunking_matches_unchunked(self, rng, monkeypatch):
         # the chunked bucket dispatch (bounds the gathered working set so it
         # never mirrors the full feature matrix) must be result-identical
