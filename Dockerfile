@@ -17,7 +17,7 @@ FROM python:3.12-slim
 WORKDIR /app
 RUN pip install --no-cache-dir \
     "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-    flax optax orbax-checkpoint aiohttp requests pyyaml numpy \
+    flax optax orbax-checkpoint aiohttp requests pyyaml numpy regex \
     opencv-python-headless pillow
 COPY imageclust_tpu/ imageclust_tpu/
 COPY frontend/build/ frontend/build/
