@@ -427,12 +427,12 @@ def _repair_buckets(
 @partial(jax.jit, static_argnames=("c_pad",))
 def _spill_centroids(feats, assign, sizes, c_pad):
     """Once per spill round: every cluster's centroid by segment-sum over
-    the resident feature matrix (one streamed (n, d) pass)."""
-    valid = assign >= 0
-    seg = jnp.where(valid, assign, 0)
-    sums = jax.ops.segment_sum(
-        feats * valid[:, None].astype(feats.dtype), seg, num_segments=c_pad
-    )
+    the resident feature matrix (one streamed (n, d) pass). Unassigned rows
+    scatter into a dump segment that is sliced off — masking them with an
+    elementwise multiply instead materialized a full (n, d) temp (5.7 GB at
+    1.5M x 1000, the OOM next to the resident matrix)."""
+    seg = jnp.where(assign >= 0, assign, c_pad)
+    sums = jax.ops.segment_sum(feats, seg, num_segments=c_pad + 1)[:c_pad]
     return sums / jnp.maximum(sizes, 1)[:, None].astype(feats.dtype)
 
 
@@ -501,10 +501,13 @@ def _spill_rounds(
             for p, c in enumerate(cids):
                 cb[p] = cluster_bucket[c]
             cb = jnp.asarray(cb)
-        # chunked candidate queries: fixed padded width bounds the
-        # (chunk, c_pad) distance tile (m x c_pad at 1M-scale m would not
-        # fit) and keeps one compiled shape per round size class
-        CHUNK = 4096
+        # chunked candidate queries: the padded width bounds the
+        # (chunk, c_pad) distance tile at ~1 GB — c_pad grows with the
+        # cluster count (524k at 1.5M items), so a fixed width OOMed next
+        # to the resident feature matrix. Power-of-two width keeps one
+        # compiled shape per (c_pad, width) class.
+        budget = (1 << 30) // max(1, 4 * c_pad)
+        CHUNK = 1 << max(7, min(12, budget.bit_length() - 1))
         sizes_d = jnp.asarray(sizes)
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
