@@ -89,7 +89,7 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int,
     def cluster_all(feats):
         return constrained_ward_bucketed(
             feats, min_size=3, max_size=6, bucket_size=bucket_size,
-            update_rule="lance_williams",
+            update_rule="lance_williams", feature_dtype=feature_dtype,
         )
 
     # One untimed dry pass warms the kmeans + bucket-merge compiles for these
@@ -107,7 +107,7 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int,
     t0 = time.perf_counter()
     res = cluster_all(feats)
     t_cluster = time.perf_counter() - t0
-    _log(f"cluster: {len(res.cluster_map)} clusters in {t_cluster:.2f}s "
+    _log(f"cluster: {res.n_clusters} clusters in {t_cluster:.2f}s "
          f"({len(res.dropped)} dropped)")
 
     total = t_embed + t_cluster
@@ -123,7 +123,7 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int,
             "embed_s": round(t_embed, 3),
             "cluster_s": round(t_cluster, 3),
             "images_per_sec_chip": round(n_images / t_embed, 1),
-            "n_clusters": len(res.cluster_map),
+            "n_clusters": res.n_clusters,
         },
     }
 
@@ -210,7 +210,7 @@ def bench_e2e_real(n_images: int, batch_size: int, bucket_size: int,
         update_rule="lance_williams",
     )
     t_cluster = time.perf_counter() - t0
-    _log(f"cluster: {len(res.cluster_map)} clusters in {t_cluster:.2f}s "
+    _log(f"cluster: {res.n_clusters} clusters in {t_cluster:.2f}s "
          f"({len(res.dropped)} dropped)")
 
     total = t_embed + t_cluster
@@ -225,7 +225,7 @@ def bench_e2e_real(n_images: int, batch_size: int, bucket_size: int,
             "images_per_sec": round(n_images / t_embed, 1),
             "peak_rss_gb": round(_max_rss_gb(), 2),
             "rss_after_datagen_gb": round(rss_after_gen, 2),
-            "n_clusters": len(res.cluster_map),
+            "n_clusters": res.n_clusters,
             "dropped": len(res.dropped),
         },
     }
@@ -259,7 +259,8 @@ def bench_decode(n_images: int, workers: int) -> dict:
 
 
 def bench_cluster_only(n: int, d: int, bucket_size: int,
-                       engine: str = "auto") -> dict:
+                       engine: str = "auto",
+                       feature_dtype: str = "float32") -> dict:
     """Constrained-Ward alone over synthetic features (the SURVEY §6 scaling
     ladder: Ward time at 1k/10k/100k/1M). ``engine``: "auto" (exact engine
     under exact_limit, bucketed above), "bucketed", or "chain" (NN-chain:
@@ -272,7 +273,10 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
     from imageclust_tpu.cluster.ward import constrained_ward
 
     _enable_compile_cache()
-    feats = jax.random.normal(jax.random.PRNGKey(0), (n, d), jnp.float32)
+    # generate directly in the residency dtype: keeping an f32 original
+    # alive next to the bf16 working copy would waste n*d*4 bytes of HBM
+    gen_dt = jnp.bfloat16 if feature_dtype == "bfloat16" else jnp.float32
+    feats = jax.random.normal(jax.random.PRNGKey(0), (n, d), gen_dt)
 
     def run():
         if engine == "chain":
@@ -282,7 +286,7 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
                                     update_rule="lance_williams")
         return constrained_ward_bucketed(
             feats, min_size=3, max_size=6, bucket_size=bucket_size,
-            update_rule="lance_williams",
+            update_rule="lance_williams", feature_dtype=feature_dtype,
         )
 
     t0 = time.perf_counter()
@@ -291,15 +295,16 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
     t0 = time.perf_counter()
     res = run()
     dt = time.perf_counter() - t0
-    _log(f"cluster-only n={n} d={d}: {dt:.2f}s, {len(res.cluster_map)} "
+    _log(f"cluster-only n={n} d={d}: {dt:.2f}s, {res.n_clusters} "
          f"clusters, {len(res.dropped)} dropped")
     return {
         "metric": f"ward_cluster_{n}_items",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / dt, 3),
-        "detail": {"n_clusters": len(res.cluster_map), "d": d,
-                   "engine": engine, "dropped": len(res.dropped)},
+        "detail": {"n_clusters": res.n_clusters, "d": d,
+                   "engine": engine, "dropped": len(res.dropped),
+                   "feature_dtype": feature_dtype},
     }
 
 
@@ -323,6 +328,11 @@ def main() -> int:
                         help="quantized embed tower for the e2e bench "
                              "(int8: +15-17%% embed throughput, non-parity "
                              "embeddings)")
+    parser.add_argument("--feature-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bucketed-engine feature residency dtype for "
+                             "--cluster-only (bfloat16 doubles the "
+                             "single-chip capacity envelope; non-parity)")
     parser.add_argument("--engine", default="auto",
                         choices=["auto", "bucketed", "chain"],
                         help="cluster engine for --cluster-only")
@@ -335,7 +345,8 @@ def main() -> int:
         result = bench_e2e_real(args.n, args.batch, args.bucket,
                                 args.workers, args.data_dir)
     elif args.cluster_only:
-        result = bench_cluster_only(args.n, args.d, args.bucket, args.engine)
+        result = bench_cluster_only(args.n, args.d, args.bucket, args.engine,
+                                    args.feature_dtype)
     else:
         result = bench_e2e(args.n, args.batch, args.bucket, args.quantize)
     detail = result.pop("detail")

@@ -181,6 +181,186 @@ def _chain_segment(carry, max_size: jax.Array, seg_iters: jax.Array):
     return jax.lax.while_loop(cond, body, (*carry[:12], jnp.int32(0)))
 
 
+# ---------------------------------------------------------------------------
+# Batched reciprocal-NN rounds: the parallel form of the chain (the default
+# single-device path). The sequential chain advances one link per (n, d)
+# pass; this advances HUNDREDS of merges per pass. Correctness rests on the
+# same reducibility argument as the chain itself (module docstring): merging
+# any set of MUTUAL nearest-neighbor pairs, in any order, yields the same
+# dendrogram as the greedy global-argmin loop wherever merge distances are
+# distinct — and mutual-NN pairs are automatically disjoint (a shared
+# member would need two distinct equidistant nearest neighbors, i.e. a tie).
+# maxSize poisoning again preserves reducibility because infeasibility is
+# monotone. Each round: (1) every active unblocked cluster finds its nearest
+# feasible partner — blocked all-pairs distances on the MXU, O(m^2 d) FLOPs
+# but only O(block * m) memory; (2) all reciprocal pairs merge at once;
+# (3) clusters with no feasible partner retire permanently. ~tens of rounds
+# replace ~3n sequential steps (measured: 100k x 1000 in ~11 s vs 354 s).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _nn_compact(cents_c, sizes_c, valid_c, max_size, block):
+    """Nearest feasible neighbor for every row of the COMPACT (m_pad, d)
+    active-cluster matrix. Distances via the Gram expansion on the MXU
+    (HIGHEST precision: f32-accurate, so near-tie ordering matches the
+    direct diff-square-sum within ulps); (block, m_pad) tiles keep memory
+    O(block * m) — the full matrix never materializes."""
+    m_pad, d = cents_c.shape
+    f32 = jnp.float32
+    i32 = jnp.int32
+    norms = jnp.sum(cents_c * cents_c, axis=1)
+    sz_f = sizes_c.astype(f32)
+    idx = jnp.arange(m_pad, dtype=i32)
+    n_blocks = m_pad // block
+
+    def blk(carry, bi):
+        nn, nnd = carry
+        r0 = bi * block
+        rows = jax.lax.dynamic_slice_in_dim(cents_c, r0, block, 0)
+        rnorm = jax.lax.dynamic_slice_in_dim(norms, r0, block, 0)
+        rsz = jax.lax.dynamic_slice_in_dim(sizes_c, r0, block, 0)
+        rval = jax.lax.dynamic_slice_in_dim(valid_c, r0, block, 0)
+        g = jax.lax.dot_general(
+            rows, cents_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )  # (block, m_pad)
+        d2 = jnp.maximum(rnorm[:, None] + norms[None, :] - 2.0 * g, 0.0)
+        rs_f = rsz.astype(f32)
+        w = (rs_f[:, None] * sz_f[None, :]
+             / (rs_f[:, None] + sz_f[None, :])) * d2
+        gid = r0 + jnp.arange(block, dtype=i32)
+        feas = (valid_c[None, :] & rval[:, None]
+                & (gid[:, None] != idx[None, :])
+                & ((rsz[:, None] + sizes_c[None, :]) <= max_size))
+        E = jnp.where(feas, w, jnp.inf)
+        nn = jax.lax.dynamic_update_slice_in_dim(
+            nn, jnp.argmin(E, axis=1).astype(i32), r0, 0)
+        nnd = jax.lax.dynamic_update_slice_in_dim(
+            nnd, jnp.min(E, axis=1), r0, 0)
+        return (nn, nnd), None
+
+    carry = (jnp.zeros(m_pad, i32), jnp.full(m_pad, jnp.inf, f32))
+    (nn, nnd), _ = jax.lax.scan(
+        blk, carry, jnp.arange(n_blocks, dtype=i32))
+    return nn, nnd
+
+
+@jax.jit
+def _apply_merges(cents, sizes, births, active, blocked, log, heights,
+                  step, counter, idx, valid_c, nn, nnd):
+    """Merge every reciprocal-NN pair of this round at once; retire rows
+    with no feasible partner. All updates are scatters into the GLOBAL
+    (n_pad) state; merge log/height entries are written at
+    step + rank(pair), with counter stamps in ascending compact-index
+    order. Falls back to merging the single global-min pair if ties leave
+    a round with feasible pairs but no reciprocal pair (progress
+    guarantee; cannot happen on the tie-free domain)."""
+    n_pad = cents.shape[0]
+    m_pad = idx.shape[0]
+    i32 = jnp.int32
+    f32 = jnp.float32
+    ar = jnp.arange(m_pad, dtype=i32)
+
+    finite = jnp.isfinite(nnd) & valid_c
+    newly_blocked = valid_c & ~finite
+    blocked = blocked.at[jnp.where(newly_blocked, idx, n_pad)].set(
+        True, mode="drop")
+
+    mutual = finite & (jnp.take(nn, nn) == ar) & (ar < nn)
+    any_mutual = jnp.any(mutual)
+    any_finite = jnp.any(finite)
+    i_star = jnp.argmin(jnp.where(finite, nnd, jnp.inf)).astype(i32)
+    mutual = jnp.where(~any_mutual & any_finite, ar == i_star, mutual)
+
+    rank = jnp.cumsum(mutual.astype(i32)) - 1
+    p = jnp.sum(mutual.astype(i32))
+
+    ga = idx
+    gb = jnp.take(idx, nn)
+    keep = jnp.minimum(ga, gb)
+    dropg = jnp.maximum(ga, gb)
+    sa = jnp.take(sizes, ga)
+    sb = jnp.take(sizes, gb)
+    s_new = sa + sb
+    ca = jnp.take(cents, ga, axis=0)
+    cb = jnp.take(cents, gb, axis=0)
+    c_new = (sa.astype(f32)[:, None] * ca + sb.astype(f32)[:, None] * cb) \
+        / s_new.astype(f32)[:, None]
+    # logged height recomputed by direct diff-square-sum — the same
+    # rounding path as the sequential chain segment
+    dvec = ca - cb
+    d2 = jnp.sum(dvec * dvec, axis=1)
+    h = (sa.astype(f32) * sb.astype(f32) / s_new.astype(f32)) * d2
+    ba = jnp.take(births, ga)
+    bb = jnp.take(births, gb)
+    bhi = jnp.maximum(ba, bb)
+    blo = jnp.minimum(ba, bb)
+    ctr = counter + rank
+
+    keep_t = jnp.where(mutual, keep, n_pad)
+    drop_t = jnp.where(mutual, dropg, n_pad)
+    cents = cents.at[keep_t].set(c_new, mode="drop")
+    sizes = sizes.at[keep_t].set(s_new, mode="drop").at[drop_t].set(
+        0, mode="drop")
+    births = births.at[keep_t].set(ctr, mode="drop")
+    active = active.at[drop_t].set(False, mode="drop")
+    pos = jnp.where(mutual, step + rank, n_pad)
+    log = log.at[pos].set(jnp.stack([bhi, blo, ctr], axis=1), mode="drop")
+    heights = heights.at[pos].set(h, mode="drop")
+    unblocked = active & ~blocked
+    return (cents, sizes, births, active, blocked, log, heights,
+            step + p, counter + p, p, unblocked)
+
+
+def _rnn_loop(x_pad: jax.Array, n_items: int, max_size: int):
+    """Run reciprocal-NN rounds to exhaustion. Returns (log, heights,
+    steps) in the same format as :func:`_chain_loop` — the host cut is
+    shared."""
+    n_pad, d = x_pad.shape
+    i32 = jnp.int32
+    idx0 = jnp.arange(n_pad, dtype=i32)
+    active = idx0 < n_items
+    cents = x_pad.astype(jnp.float32)
+    sizes = active.astype(i32)
+    births = jnp.where(active, idx0, _BIG_I32 - n_pad + idx0)
+    blocked = ~active
+    log = jnp.zeros((n_pad, 3), i32)
+    heights = jnp.zeros((n_pad,), jnp.float32)
+    step = jnp.int32(0)
+    counter = jnp.int32(n_items)
+    ms = jnp.int32(max_size)
+    mask = np.asarray(active)
+    for _ in range(2 * n_items + 4):
+        ids = np.flatnonzero(mask)
+        m = len(ids)
+        if m < 2:
+            break
+        m_pad = max(8, 1 << (m - 1).bit_length())
+        idxp = np.full(m_pad, n_pad - 1, np.int32)
+        idxp[:m] = ids
+        validp = np.zeros(m_pad, bool)
+        validp[:m] = True
+        idx_d = jnp.asarray(idxp)
+        cents_c = jnp.take(cents, idx_d, axis=0)
+        sizes_c = jnp.take(sizes, idx_d)
+        # (block, m_pad) distance tile capped at ~512 MB
+        block = min(m_pad, max(128, 1 << max(
+            7, ((1 << 29) // (4 * m_pad)).bit_length() - 1)))
+        nn, nnd = _nn_compact(cents_c, sizes_c, jnp.asarray(validp), ms,
+                              block)
+        (cents, sizes, births, active, blocked, log, heights, step,
+         counter, _, unblocked) = _apply_merges(
+            cents, sizes, births, active, blocked, log, heights, step,
+            counter, idx_d, jnp.asarray(validp), nn, nnd)
+        mask = np.asarray(unblocked)
+    else:  # pragma: no cover — every round merges >= 1 or blocks the rest
+        raise RuntimeError(
+            f"reciprocal-NN rounds did not converge (n={n_items})")
+    return log, heights, step
+
+
 _MESH_CHAIN_SEGMENTS: dict = {}
 
 
@@ -473,36 +653,43 @@ def constrained_ward_chain(
             [feats, jnp.zeros((n_pad - n, d), feats.dtype)])
     else:
         feats_p = feats
-    log, heights, steps = _chain_loop(feats_p, n, max_size, mesh=mesh)
+    import os
+
+    if mesh is None and os.environ.get(
+            "IMAGECLUST_CHAIN_IMPL", "rnn") != "seq":
+        # default: batched reciprocal-NN rounds — same dendrogram on the
+        # tie-free domain, ~tens of device passes instead of ~3n
+        log, heights, steps = _rnn_loop(feats_p, n, max_size)
+    else:
+        log, heights, steps = _chain_loop(feats_p, n, max_size, mesh=mesh)
     m = int(steps)
     log = np.asarray(log)[:m]
     heights = np.asarray(heights)[:m]
 
     clusters, applied = _cut(log, heights, n, n_target)
 
-    index_map: dict[int, list[int]] = {}
+    kept: list[list[int]] = []
     dropped_idx: list[int] = []
-    cid = 0
     for members in clusters:
         if len(members) < min_size:  # clustering.go:268-271
             dropped_idx.extend(members)
             continue
-        index_map[cid] = members
-        cid += 1
+        kept.append(members)
 
+    from imageclust_tpu.cluster.sharded import _Clusters, _spill_global
+
+    cols = _Clusters.from_lists(kept)
     if reassign_dropped and dropped_idx:
-        from imageclust_tpu.cluster.sharded import _spill_global
+        dropped_idx = _spill_global(feats, cols, dropped_idx, max_size)
 
-        index_map, dropped_idx = _spill_global(
-            feats, index_map, dropped_idx, max_size)
-
+    members_f, offsets_f = cols.finalize()
     # result.merges: the applied merges, in greedy (ascending-height) order
-    result = ClusterResult(
-        cluster_map={c: [ids[k] for k in mem] for c, mem in index_map.items()},
-        dropped=[ids[k] for k in dropped_idx],
+    return ClusterResult(
         merges=log[applied],
         n_items=n,
         n_clusters_target=n_target,
+        members=members_f,
+        offsets=offsets_f,
+        ids=ids,
+        dropped_idx=dropped_idx,
     )
-    result._index_map = index_map
-    return result

@@ -85,7 +85,7 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
 
     key = jax.random.PRNGKey(seed)
     init_idx = jax.random.permutation(key, n_real)[:k]
-    cents = x[init_idx]
+    cents = x[init_idx].astype(jnp.float32)  # (k, d): f32 even on bf16 feats
 
     def lloyd(cents, _):
         def accum(carry, rows, valid):
@@ -96,7 +96,8 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
             onehot = onehot * valid[:, None]
             counts = counts + jnp.sum(onehot, axis=0)
             sums = sums + jax.lax.dot_general(
-                onehot, rows, dimension_numbers=(((0,), (0,)), ((), ())),
+                onehot, rows.astype(jnp.float32),  # fused tile cast (bf16)
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return sums, counts
@@ -144,6 +145,10 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
 
 
 def _sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
+    # f32 casts fuse into the reductions (tile-level, no materialized f32
+    # copy) — required for bf16-resident features, harmless for f32
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     xx = jnp.sum(x * x, axis=1)[:, None]
     yy = jnp.sum(y * y, axis=1)[None, :]
     g = jax.lax.dot_general(
@@ -295,6 +300,22 @@ def _plan_exchange(buckets, n_pad_rows: int, ndev: int, bucket_size: int):
     return send_idx, recv_pos, K
 
 
+def _to_host(x) -> np.ndarray:
+    """Device->host pull that also works for GLOBAL arrays in a
+    multi-process run (shard_map outputs sharded over a mesh spanning
+    several processes are not fully addressable — np.asarray would throw)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
+def _mesh_is_multiprocess(mesh: Mesh) -> bool:
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 _MESH_BUCKET_LOOPS: dict = {}
 
 
@@ -432,6 +453,31 @@ def _spill_centroids(feats, assign, sizes, c_pad):
     elementwise multiply instead materialized a full (n, d) temp (5.7 GB at
     1.5M x 1000, the OOM next to the resident matrix)."""
     seg = jnp.where(assign >= 0, assign, c_pad)
+    if feats.dtype == jnp.bfloat16:
+        # f32 accumulation without a full f32 copy of the resident matrix:
+        # block-scan rows, cast per tile, accumulate into (c_pad+1, d) f32
+        n, d = feats.shape
+        block = min(1 << 16, 1 << max(n - 1, 1).bit_length())
+        n_main = (n // block) * block
+        n_blocks = n_main // block
+
+        def blk(sums, i):
+            rows = jax.lax.dynamic_slice_in_dim(
+                feats, i * block, block, 0).astype(jnp.float32)
+            sg = jax.lax.dynamic_slice_in_dim(seg, i * block, block, 0)
+            return sums + jax.ops.segment_sum(
+                rows, sg, num_segments=c_pad + 1), None
+
+        sums = jnp.zeros((c_pad + 1, d), jnp.float32)
+        if n_blocks:
+            sums, _ = jax.lax.scan(
+                blk, sums, jnp.arange(n_blocks, dtype=jnp.int32))
+        if n - n_main:
+            tail = feats[n_main:].astype(jnp.float32)
+            sums = sums + jax.ops.segment_sum(
+                tail, seg[n_main:], num_segments=c_pad + 1)
+        sums = sums[:c_pad]
+        return sums / jnp.maximum(sizes, 1)[:, None].astype(jnp.float32)
     sums = jax.ops.segment_sum(feats, seg, num_segments=c_pad + 1)[:c_pad]
     return sums / jnp.maximum(sizes, 1)[:, None].astype(feats.dtype)
 
@@ -456,14 +502,87 @@ def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
     return jnp.where(jnp.isfinite(vals), cand, -1)
 
 
+def _ranges(sizes: np.ndarray) -> np.ndarray:
+    """[0..s0), [0..s1), ... concatenated (vectorized per-segment arange)."""
+    total = int(sizes.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes[:-1])])
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+
+
+class _Clusters:
+    """Columnar cluster membership (compact ids 0..num-1) with O(1)
+    appends — the spill phases' working view AND the result's storage.
+
+    Replaces the dict-of-lists the engine used to carry through its tail:
+    at the 10M tier, just constructing that dict (2.17M python lists)
+    measured ~85 s of host time; here membership is two numpy arrays and
+    the rare spill placements land in a small append overlay."""
+
+    def __init__(self, members, offsets, bucket=None):
+        self.members = np.asarray(members, dtype=np.int64)
+        self.offsets = np.asarray(offsets, dtype=np.int64)
+        self.base_sizes = np.diff(self.offsets).astype(np.int32)
+        self.bucket = None if bucket is None else np.asarray(
+            bucket, dtype=np.int32)
+        self.extra: dict[int, list[int]] = {}
+        self._extra_count = np.zeros(len(self.base_sizes), np.int32)
+
+    @classmethod
+    def from_lists(cls, clusters: list[list[int]], bucket=None):
+        sizes = np.array([len(c) for c in clusters], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+        members = np.concatenate(
+            [np.asarray(c, np.int64) for c in clusters]
+        ) if clusters else np.zeros(0, np.int64)
+        return cls(members, offsets, bucket)
+
+    @property
+    def num(self) -> int:
+        return len(self.base_sizes)
+
+    def sizes(self) -> np.ndarray:
+        return self.base_sizes + self._extra_count
+
+    def append(self, c: int, item: int) -> None:
+        self.extra.setdefault(c, []).append(item)
+        self._extra_count[c] += 1
+
+    def assign_array(self, n: int) -> np.ndarray:
+        """(n,) item -> cluster id, -1 for unplaced. One vectorized
+        scatter (the dict version looped clusters in python per round)."""
+        out = np.full(n, -1, np.int32)
+        out[self.members] = np.repeat(
+            np.arange(self.num, dtype=np.int32), self.base_sizes)
+        for c, items in self.extra.items():
+            out[items] = c
+        return out
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """(members, offsets) with appends merged after each cluster's base
+        segment (spill placements keep Go append order)."""
+        if not self.extra:
+            return self.members, self.offsets
+        sizes_new = self.sizes().astype(np.int64)
+        off_new = np.concatenate([[0], np.cumsum(sizes_new)])
+        out = np.empty(int(off_new[-1]), np.int64)
+        base_pos = np.repeat(off_new[:-1], self.base_sizes) \
+            + _ranges(self.base_sizes)
+        out[base_pos] = self.members
+        for c, items in self.extra.items():
+            s = int(off_new[c]) + int(self.base_sizes[c])
+            out[s:s + len(items)] = items
+        return out, off_new
+
+
 def _spill_rounds(
     feats: jax.Array,
-    index_map: dict[int, list[int]],
+    cols: _Clusters,
     dropped_idx: list[int],
     max_size: int,
-    cluster_bucket: dict[int, int] | None = None,
     item_bucket_of: dict[int, int] | None = None,
-) -> tuple[dict[int, list[int]], list[int]]:
+) -> list[int]:
     """Greedy nearest-cluster-with-room placement, candidate search fully on
     device — only (m, k) candidate indices ever cross to the host (the old
     bucket-local pass pulled feature ROWS per affected bucket: measured 23 s
@@ -474,32 +593,36 @@ def _spill_rounds(
     the same few candidates the round's room snapshot goes stale, so iterate
     — the next round re-snapshots sizes and searches again. Terminates when
     a round places nothing (either nothing has room or nothing is left).
-    With ``cluster_bucket``/``item_bucket_of``, placements are restricted to
-    each item's own bucket (locality-preserving first pass)."""
+    With ``cols.bucket``/``item_bucket_of``, placements are restricted to
+    each item's own bucket (locality-preserving first pass). ``cols`` is
+    mutated in place (appends); returns the still-unplaced items."""
     still = list(dropped_idx)
     # every productive round places >= 1 item, so rounds are bounded by the
     # dropped count; a fixed small cap here would silently re-drop
-    # still-placeable items under heavy candidate contention (k=8 nearest
-    # per round), violating the engine's no-image-loss default
+    # still-placeable items under heavy candidate contention, violating the
+    # engine's no-image-loss default. To keep contention from degrading to
+    # O(dropped) full-matrix passes, k DOUBLES whenever a round places less
+    # than half its leftovers (stale-room misses shrink geometrically as
+    # each item sees more candidates), so low-progress rounds are bounded
+    # by ~log2(K_CAP/8) before k saturates.
+    K_CAP = 4096
+    k = 0  # set on the first round from the live cluster count
+    n_c = cols.num
     for _ in range(len(still) + 1):
-        cids = sorted(index_map)
-        if not cids or not still:
+        if n_c == 0 or not still:
             break
         n = feats.shape[0]
-        c_pad = 1 << max(len(cids) - 1, 1).bit_length()  # static shapes
-        assign = np.full(n, -1, np.int32)
+        c_pad = 1 << max(n_c - 1, 1).bit_length()  # static shapes
         sizes = np.full(c_pad, max_size, np.int32)  # padding reads "full"
-        for p, c in enumerate(cids):
-            assign[index_map[c]] = p
-            sizes[p] = len(index_map[c])
-        if not (sizes[: len(cids)] < max_size).any():
+        sizes[:n_c] = cols.sizes()
+        if not (sizes[:n_c] < max_size).any():
             break  # genuinely full everywhere
-        k = min(8, len(cids))
+        assign = cols.assign_array(n)
+        k = min(max(k, 8), n_c, K_CAP)
         cb = None
-        if cluster_bucket is not None:
+        if cols.bucket is not None and item_bucket_of is not None:
             cb = np.full(c_pad, -1, np.int32)
-            for p, c in enumerate(cids):
-                cb[p] = cluster_bucket[c]
+            cb[:n_c] = cols.bucket
             cb = jnp.asarray(cb)
         # chunked candidate queries: the padded width bounds the
         # (chunk, c_pad) distance tile at ~1 GB — c_pad grows with the
@@ -533,50 +656,52 @@ def _spill_rounds(
             cand_parts.append(out[: len(part)])
         cand = np.concatenate(cand_parts) if cand_parts else np.zeros(
             (0, k), np.int32)
-        room = {p: max_size - int(sizes[p]) for p in range(len(cids))}
+        room = {p: max_size - int(sizes[p]) for p in range(n_c)}
         next_still: list[int] = []
         for row, item in enumerate(still):
             for p in cand[row]:
                 p = int(p)
-                if 0 <= p < len(cids) and room.get(p, 0) > 0:
-                    index_map[cids[p]].append(item)
+                if 0 <= p < n_c and room.get(p, 0) > 0:
+                    cols.append(p, item)
                     room[p] -= 1
                     break
             else:
                 next_still.append(item)
-        if len(next_still) == len(still):
+        placed = len(still) - len(next_still)
+        if placed == 0:
             break  # no progress: every leftover's candidates are full
+        if placed * 2 < len(still):  # contention: widen the search
+            k = min(2 * k, n_c, K_CAP)
         still = next_still
-    return index_map, still
+    return still
 
 
 def _spill_bucket_local(
     feats: jax.Array,
     buckets: list[list[int]],
-    index_map: dict[int, list[int]],
-    cluster_bucket: dict[int, int],
+    cols: _Clusters,
     dropped_idx: list[int],
     max_size: int,
-) -> tuple[dict[int, list[int]], list[int]]:
+) -> list[int]:
     """Item-level rescue for what the absorb phase couldn't place: an
     under-min cluster whose WHOLE merge would break max_size everywhere can
-    still spill its members one by one into same-bucket clusters with room.
-    Device-side candidate search restricted to each item's own bucket."""
+    still spill its members one by one into same-bucket clusters with room
+    (``cols.bucket`` carries each cluster's bucket). Device-side candidate
+    search restricted to each item's own bucket."""
     bucket_of = {i: bi for bi, members in enumerate(buckets) for i in members}
-    return _spill_rounds(feats, index_map, dropped_idx, max_size,
-                         cluster_bucket=cluster_bucket,
+    return _spill_rounds(feats, cols, dropped_idx, max_size,
                          item_bucket_of=bucket_of)
 
 
 def _spill_global(
     feats: jax.Array,
-    index_map: dict[int, list[int]],
+    cols: _Clusters,
     dropped_idx: list[int],
     max_size: int,
-) -> tuple[dict[int, list[int]], list[int]]:
+) -> list[int]:
     """Cross-bucket fallback for items whose own bucket is completely full:
     place each into its nearest cluster with room anywhere in the job."""
-    return _spill_rounds(feats, index_map, dropped_idx, max_size)
+    return _spill_rounds(feats, cols, dropped_idx, max_size)
 
 
 def _native_reconstruction(buckets, logs, steps, births, active):
@@ -646,6 +771,7 @@ def constrained_ward_bucketed(
     mesh: Mesh | None = None,
     seed: int = 0,
     reassign_dropped: bool = True,
+    feature_dtype: str = "float32",
 ) -> ClusterResult:
     """Scalable constrained Ward over k-means buckets.
 
@@ -660,11 +786,24 @@ def constrained_ward_bucketed(
     measurement showed the parity drop discarding ~8% of a 100k job. It is
     implemented as an on-device absorb phase inside the bucket loop — items
     that still cannot be placed without breaking max_size remain dropped.
+
+    ``feature_dtype="bfloat16"`` keeps the RESIDENT feature matrix in bf16
+    (half the HBM: the 16 GB single-chip envelope moves from ~1e9 to ~2e9
+    feature floats — 1.5M x 1000 fits). All arithmetic still accumulates
+    in f32 (tile-level casts fused into the MXU ops); only the one-time
+    rounding of inputs to bf16 differs. Like int8 serving, this is a
+    precision-caveated NON-parity mode: distances shift within bf16
+    rounding, so assignments can differ near ties.
     """
+    dt = jnp.bfloat16 if feature_dtype == "bfloat16" else jnp.float32
+    if feature_dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
     if isinstance(embeddings, jax.Array):
-        feats = embeddings.astype(jnp.float32)
+        feats = embeddings.astype(dt)
     else:
         feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
+        if dt != jnp.float32:
+            feats = feats.astype(dt)
     n, d = feats.shape
     if ids is None:
         ids = [f"img_{i}" for i in range(n)]
@@ -715,16 +854,29 @@ def constrained_ward_bucketed(
                 [feats, jnp.zeros((n_rows_pad - n, d), feats.dtype)])
         else:
             feats_x = feats
-        feats_x = jax.device_put(
-            feats_x, NamedSharding(mesh, P("data", None)))
+        multiproc = _mesh_is_multiprocess(mesh)
+
+        def put(a, spec):
+            # multi-process: committed local arrays can't be placed onto
+            # non-addressable devices — build the global array from the
+            # host copy every process already holds in this bring-up mode
+            sh = NamedSharding(mesh, spec)
+            if multiproc:
+                host = np.asarray(a)
+                return jax.make_array_from_callback(
+                    host.shape, sh, lambda idx: host[idx])
+            return jax.device_put(a, sh)
+
+        feats_x = put(feats_x, P("data", None))
         send_idx, recv_pos, _ = _plan_exchange(
             buckets, n_rows_pad, ndev, bucket_size)
         loop = _all_buckets_mesh(mesh, update_rule, reassign_dropped,
                                  bucket_size)
         logs, steps, births, sizes, active = loop(
-            feats_x, jnp.asarray(send_idx), jnp.asarray(recv_pos),
-            jnp.asarray(counts), jnp.asarray(targets),
-            jnp.int32(max_size), jnp.int32(min_size),
+            feats_x, put(send_idx, P("data", None, None)),
+            put(recv_pos, P("data", None, None)),
+            put(counts, P("data")), put(targets, P("data")),
+            np.int32(max_size), np.int32(min_size),
         )
     else:
         bucket_idx = np.zeros((nb, bucket_size), np.int32)
@@ -735,17 +887,14 @@ def constrained_ward_bucketed(
             jnp.asarray(targets), jnp.int32(max_size), jnp.int32(min_size),
             update_rule=update_rule, absorb=reassign_dropped,
         )
-    logs = np.asarray(logs)
-    steps = np.asarray(steps)
-    births = np.asarray(births)
-    active = np.asarray(active)
+    logs = _to_host(logs)
+    steps = _to_host(steps)
+    births = _to_host(births)
+    active = _to_host(active)
 
-    index_map: dict[int, list[int]] = {}
-    cluster_bucket: dict[int, int] = {}
     dropped_idx: list[int] = []
     all_logs: list[np.ndarray] = []
     next_internal = n  # global stamp space for exported merges
-    cid = 0
     for bi, members in enumerate(buckets):
         c = len(members)
         if c == 0:
@@ -771,24 +920,30 @@ def constrained_ward_bucketed(
             ], axis=1))
             next_internal += len(log_b)
 
-    # Member expansion: the native runtime's linked-list pass when present
-    # (the python dict-walk below was the largest host cost at the 10M tier,
-    # ~85 s), falling back to the identical-order python walk.
+    # Member expansion: the native runtime's linked-list pass when present,
+    # then a fully VECTORIZED columnar filter (the per-cluster python loop
+    # that used to follow it — dict of 2.17M lists — was the remaining
+    # ~85 s host wall at the 10M tier). Python walk fallback keeps the
+    # identical iteration order when the native lib is absent.
     rec = _native_reconstruction(buckets, logs, steps, births, active)
     if rec is not None:
-        members_glob, sizes, root_bucket = rec
-        off = 0
-        for ri in range(len(sizes)):
-            sz = int(sizes[ri])
-            mem = members_glob[off:off + sz].tolist()
-            off += sz
-            if sz < min_size:
-                dropped_idx.extend(mem)
-                continue
-            index_map[cid] = mem
-            cluster_bucket[cid] = int(root_bucket[ri])
-            cid += 1
+        members_glob, sizes_r, root_bucket = rec
+        members_glob = np.asarray(members_glob, dtype=np.int64)
+        sizes_r = np.asarray(sizes_r, dtype=np.int64)
+        valid = sizes_r >= min_size
+        if valid.all():
+            members_col = members_glob
+            dropped_idx = []
+        else:
+            keep_rows = np.repeat(valid, sizes_r)
+            members_col = members_glob[keep_rows]
+            dropped_idx = members_glob[~keep_rows].tolist()
+        offsets_col = np.concatenate([[0], np.cumsum(sizes_r[valid])])
+        cols = _Clusters(members_col, offsets_col,
+                         np.asarray(root_bucket)[valid])
     else:
+        clusters_l: list[list[int]] = []
+        bucket_l: list[int] = []
         for bi, members in enumerate(buckets):
             c = len(members)
             if c == 0:
@@ -803,25 +958,25 @@ def constrained_ward_bucketed(
                 if len(global_members) < min_size:
                     dropped_idx.extend(global_members)
                     continue
-                index_map[cid] = global_members
-                cluster_bucket[cid] = bi
-                cid += 1
+                clusters_l.append(global_members)
+                bucket_l.append(bi)
+        cols = _Clusters.from_lists(clusters_l, bucket_l)
 
     if reassign_dropped and dropped_idx:
-        index_map, dropped_idx = _spill_bucket_local(
-            feats, buckets, index_map, cluster_bucket, dropped_idx, max_size
+        dropped_idx = _spill_bucket_local(
+            feats, buckets, cols, dropped_idx, max_size
         )
     if reassign_dropped and dropped_idx:
-        index_map, dropped_idx = _spill_global(
-            feats, index_map, dropped_idx, max_size
-        )
+        dropped_idx = _spill_global(feats, cols, dropped_idx, max_size)
 
-    result = ClusterResult(
-        cluster_map={c: [ids[k] for k in mem] for c, mem in index_map.items()},
-        dropped=[ids[k] for k in dropped_idx],
-        merges=np.concatenate(all_logs) if all_logs else np.zeros((0, 3), np.int32),
+    members_f, offsets_f = cols.finalize()
+    return ClusterResult(
+        merges=np.concatenate(all_logs) if all_logs else np.zeros(
+            (0, 3), np.int32),
         n_items=n,
         n_clusters_target=sum(int(t) for t in targets),
+        members=members_f,
+        offsets=offsets_f,
+        ids=ids,
+        dropped_idx=dropped_idx,
     )
-    result._index_map = index_map
-    return result

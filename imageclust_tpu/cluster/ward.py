@@ -34,7 +34,6 @@ higher-index cluster (clustering.go:29-47 with the call at :237).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Sequence
 
@@ -76,7 +75,6 @@ def calculate_optimal_clusters(total_items: int, min_size: int, max_size: int) -
     return n_min
 
 
-@dataclass
 class ClusterResult:
     """Outcome of a constrained-Ward run.
 
@@ -85,23 +83,101 @@ class ClusterResult:
     whose cluster fell below ``min_size`` (the reference silently discards
     them, clustering.go:268-271); ``merges`` is the (hi, lo, new) birth-stamp
     dendrogram, a strict superset of what the reference exposes.
+
+    Storage is either EAGER (``cluster_map`` dict — the exact/chain engines
+    at interactive scale) or COLUMNAR (``members`` item-index array +
+    ``offsets``, cluster c = ``members[offsets[c]:offsets[c+1]]`` — the
+    bucketed engine's 10M tier, where materializing 2M+ python lists of id
+    strings measured ~85 s of pure host time). ``cluster_map`` /
+    ``dropped`` / ``_index_map`` are lazy views over the columnar form:
+    callers that never touch the dict (bench, ``assignments()``,
+    ``n_clusters``) never pay for it; callers that do see the identical
+    contract.
     """
 
-    cluster_map: dict[int, list[str]]
-    dropped: list[str]
-    merges: np.ndarray  # (num_merges, 3) int32
-    n_items: int
-    n_clusters_target: int
+    def __init__(
+        self,
+        cluster_map: dict[int, list[str]] | None = None,
+        dropped: list[str] | None = None,
+        merges: np.ndarray | None = None,
+        n_items: int = 0,
+        n_clusters_target: int = 0,
+        *,
+        members: np.ndarray | None = None,   # concatenated item indices
+        offsets: np.ndarray | None = None,   # (n_clusters + 1,)
+        ids: "Sequence[str] | None" = None,
+        dropped_idx: "np.ndarray | list[int] | None" = None,
+    ):
+        if cluster_map is None and (members is None or offsets is None
+                                    or ids is None):
+            raise ValueError(
+                "ClusterResult needs cluster_map or (members, offsets, ids)")
+        self._cluster_map = cluster_map
+        self._dropped = dropped
+        self.merges = merges if merges is not None else np.zeros(
+            (0, 3), np.int32)
+        self.n_items = n_items
+        self.n_clusters_target = n_clusters_target
+        self._members = members
+        self._offsets = offsets
+        self._ids = ids
+        self._dropped_idx = dropped_idx
+        self._index_map_cache: dict[int, list[int]] | None = None
+
+    @property
+    def n_clusters(self) -> int:
+        """Cluster count WITHOUT materializing the dict."""
+        if self._cluster_map is not None:
+            return len(self._cluster_map)
+        return len(self._offsets) - 1
+
+    @property
+    def cluster_map(self) -> dict[int, list[str]]:
+        if self._cluster_map is None:
+            ids, mem, off = self._ids, self._members, self._offsets
+            self._cluster_map = {
+                c: [ids[k] for k in mem[off[c]:off[c + 1]]]
+                for c in range(len(off) - 1)
+            }
+        return self._cluster_map
+
+    @property
+    def dropped(self) -> list[str]:
+        if self._dropped is None:
+            self._dropped = [self._ids[k] for k in
+                             (self._dropped_idx
+                              if self._dropped_idx is not None else ())]
+        return self._dropped
+
+    @property
+    def _index_map(self) -> dict[int, list[int]]:
+        """cluster id -> item indices (set eagerly by the engines or
+        materialized lazily from the columnar form)."""
+        if self._index_map_cache is None:
+            if self._members is None:
+                raise AttributeError("_index_map was never populated")
+            off = self._offsets
+            self._index_map_cache = {
+                c: self._members[off[c]:off[c + 1]].tolist()
+                for c in range(len(off) - 1)
+            }
+        return self._index_map_cache
+
+    @_index_map.setter
+    def _index_map(self, value: dict[int, list[int]]) -> None:
+        self._index_map_cache = value
 
     def assignments(self) -> np.ndarray:
         """Per-item cluster id (-1 for dropped items), by item position."""
         out = np.full(self.n_items, -1, dtype=np.int64)
-        for cid, members in self._index_map.items():
-            out[members] = cid
+        if self._members is not None:
+            sizes = np.diff(self._offsets)
+            out[self._members] = np.repeat(
+                np.arange(len(sizes), dtype=np.int64), sizes)
+        else:
+            for cid, members in self._index_map.items():
+                out[members] = cid
         return out
-
-    # populated by constrained_ward; maps cluster id -> item indices
-    _index_map: dict[int, list[int]] = None  # type: ignore[assignment]
 
 
 class _LoopState(NamedTuple):

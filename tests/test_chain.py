@@ -177,10 +177,14 @@ class TestRobustness:
             frozenset({0, 1, 2}), frozenset({3})}
         assert list(applied) == [0, 1]
 
-    def test_mesh_engine_matches_single_device(self, gauss, mesh8):
+    def test_mesh_engine_matches_single_device(self, gauss, mesh8,
+                                               monkeypatch):
         # the shard_map chain (cents row-sharded over 'data') must produce
-        # the exact same partition as the single-device loop — the
-        # per-step psum/pmin formulation is bit-identical by construction
+        # the exact same partition as the single-device SEQUENTIAL loop —
+        # the per-step psum/pmin formulation is bit-identical by
+        # construction (the default reciprocal-NN path has its own
+        # equivalence test; its counter stamps legitimately differ)
+        monkeypatch.setenv("IMAGECLUST_CHAIN_IMPL", "seq")
         for n, mn, mx in [(100, 3, 6), (257, 2, 9)]:
             x = gauss(n)
             ref = constrained_ward_chain(
@@ -191,6 +195,21 @@ class TestRobustness:
             assert _partition(got) == _partition(ref)
             assert set(got.dropped) == set(ref.dropped)
             np.testing.assert_array_equal(got.merges, ref.merges)
+
+    def test_rnn_rounds_match_sequential_chain(self, gauss, monkeypatch):
+        # the default batched reciprocal-NN implementation realizes the
+        # same dendrogram as the sequential chain on tie-free data — the
+        # partitions (and drop sets) must coincide
+        for n, mn, mx in [(150, 3, 6), (257, 2, 9), (64, 1, 64)]:
+            x = gauss(n)
+            monkeypatch.setenv("IMAGECLUST_CHAIN_IMPL", "rnn")
+            got = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False)
+            monkeypatch.setenv("IMAGECLUST_CHAIN_IMPL", "seq")
+            ref = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False)
+            assert _partition(got) == _partition(ref)
+            assert set(got.dropped) == set(ref.dropped)
 
     def test_mesh_sharded_input_consolidates(self, gauss, mesh8):
         import jax

@@ -217,7 +217,10 @@ class TestAbsorbPhase:
         # bucket-LOCAL pass; the item falls through to the global pass
         import jax.numpy as jnp
 
-        from imageclust_tpu.cluster.sharded import _spill_bucket_local
+        from imageclust_tpu.cluster.sharded import (
+            _Clusters,
+            _spill_bucket_local,
+        )
 
         # bucket 0: cluster 0 near origin WITH room; bucket 1: full
         # cluster + a far dropped item at [100, 2]
@@ -227,12 +230,13 @@ class TestAbsorbPhase:
              [99, 0], [99, 1],                           # cluster 1 cont.
              [100, 2]], np.float32))                      # dropped (b1)
         buckets = [[0, 1, 2], [3, 4, 5, 6, 7, 8, 9]]
-        index_map = {0: [0, 1, 2], 1: [3, 4, 5, 6, 7, 8]}
-        cluster_bucket = {0: 0, 1: 1}
-        out_map, still = _spill_bucket_local(
-            feats, buckets, index_map, cluster_bucket, [9], max_size=6)
+        cols = _Clusters.from_lists([[0, 1, 2], [3, 4, 5, 6, 7, 8]],
+                                    bucket=[0, 1])
+        still = _spill_bucket_local(feats, buckets, cols, [9], max_size=6)
         assert still == [9]           # own bucket full: NOT placed
-        assert out_map[0] == [0, 1, 2]  # and not into the other bucket
+        members, offsets = cols.finalize()
+        assert members[offsets[0]:offsets[1]].tolist() == [0, 1, 2]
+        # and not into the other bucket
 
     def test_absorb_off_is_parity_drop(self, rng):
         from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
@@ -338,3 +342,122 @@ class TestOwnerAlignedBuckets:
             if "all-gather" in l and f"{n},{d}" in l
         ]
         assert "all-to-all" in hlo
+
+
+class TestColumnarResult:
+    """VERDICT r2 item 5: the bucketed engine's result is columnar
+    (members + offsets); cluster_map/dropped/_index_map are LAZY views so
+    the 10M tier never pays dict-of-2M-lists construction unless asked."""
+
+    def test_lazy_views_consistent(self, rng):
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        x = rng.normal(size=(300, 8)).astype(np.float32)
+        ids = [f"it{i}" for i in range(300)]
+        res = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64)
+        # columnar accessors work WITHOUT materializing the dict
+        assert res._cluster_map is None
+        k = res.n_clusters
+        assign = res.assignments()
+        assert res._cluster_map is None
+        # materialized views agree with the columnar data
+        cmap = res.cluster_map
+        assert len(cmap) == k
+        for cid, members in res._index_map.items():
+            assert [ids[m] for m in members] == cmap[cid]
+            for m in members:
+                assert assign[m] == cid
+        placed = sum(len(m) for m in cmap.values())
+        assert placed + len(res.dropped) == 300
+
+    def test_finalize_append_order(self):
+        from imageclust_tpu.cluster.sharded import _Clusters
+
+        cols = _Clusters.from_lists([[5, 3], [9], [2, 7, 0]])
+        cols.append(1, 11)
+        cols.append(0, 12)
+        cols.append(1, 13)
+        members, offsets = cols.finalize()
+        got = [members[offsets[c]:offsets[c + 1]].tolist()
+               for c in range(cols.num)]
+        # base segments keep order; appends follow in placement order
+        assert got == [[5, 3, 12], [9, 11, 13], [2, 7, 0]]
+        assert cols.sizes().tolist() == [3, 3, 3]
+
+    def test_assign_array_includes_appends(self):
+        from imageclust_tpu.cluster.sharded import _Clusters
+
+        cols = _Clusters.from_lists([[0, 1], [2]])
+        cols.append(0, 3)
+        a = cols.assign_array(5)
+        assert a.tolist() == [0, 0, 1, 0, -1]
+
+    def test_result_requires_some_storage(self):
+        import pytest as _pytest
+
+        from imageclust_tpu.cluster.ward import ClusterResult
+
+        with _pytest.raises(ValueError, match="cluster_map or"):
+            ClusterResult(n_items=3)
+
+
+class TestBf16Features:
+    """VERDICT r2 item 6: bf16 feature residency halves the resident
+    matrix (capacity envelope ~2e9 floats, 1.5M x 1000 on one chip);
+    arithmetic still accumulates f32. Non-parity near ties, but on
+    well-separated data the partition must not move."""
+
+    def test_matches_f32_on_separated_blobs(self, rng, blobs):
+        # whole-blob clusters (per_blob=4 <= max_size): recovery has no
+        # near-tie splits, so bf16 rounding must not move the partition.
+        # (per_blob > max_size would force splits on essentially-TIED
+        # within-blob distances — exactly the caveated domain.)
+        x = blobs(rng, n_blobs=24, per_blob=4, d=16)
+        ids = [f"i{k}" for k in range(len(x))]
+        f32 = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64)
+        bf16 = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64,
+            feature_dtype="bfloat16")
+        assert ({frozenset(m) for m in bf16.cluster_map.values()}
+                == {frozenset(m) for m in f32.cluster_map.values()})
+        assert bf16.dropped == f32.dropped
+
+    def test_resident_dtype_and_bounds(self, rng):
+        import jax.numpy as jnp
+
+        x = rng.normal(size=(400, 16)).astype(np.float32)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64,
+            feature_dtype="bfloat16")
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 400
+        assert len(res.dropped) == 0  # no-loss default holds in bf16 mode
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+
+    def test_unknown_dtype_rejected(self, rng):
+        x = rng.normal(size=(32, 4)).astype(np.float32)
+        with pytest.raises(ValueError, match="feature_dtype"):
+            constrained_ward_bucketed(x, min_size=3, max_size=6,
+                                      feature_dtype="fp8")
+
+    def test_spill_centroids_bf16_accumulates_f32(self):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import _spill_centroids
+
+        rng = np.random.default_rng(3)
+        n, d, c = 700, 8, 4
+        feats = rng.normal(size=(n, d)).astype(np.float32)
+        assign = rng.integers(0, c, n).astype(np.int32)
+        sizes = np.bincount(assign, minlength=c).astype(np.int32)
+        ref = np.asarray(_spill_centroids(
+            jnp.asarray(feats), jnp.asarray(assign), jnp.asarray(sizes), c))
+        got = np.asarray(_spill_centroids(
+            jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(assign),
+            jnp.asarray(sizes), c))
+        # blocked f32 accumulation: error bounded by the INPUT bf16
+        # rounding alone, not by bf16 summation drift over 175-row segments
+        np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
