@@ -38,15 +38,34 @@ def init_distributed() -> bool:
     Single-host runs are a no-op. After this, ``jax.devices()`` spans every
     host's chips and :func:`create_mesh` lays the global mesh; XLA routes
     intra-slice collectives over ICI and cross-slice over DCN.
+
+    When JAX_NUM_PROCESSES / JAX_PROCESS_ID are also set (the explicit
+    local bring-up used by :func:`imageclust_tpu.parallel.launch_processes`
+    and its 2-process CPU tests), the coordinator parameters are passed
+    explicitly and the CPU backend gets gloo cross-process collectives —
+    the same code path a real multi-host pod takes, executable on one box.
     """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    )
+    if not coord:
+        return False
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        # CPU cross-process collectives need an explicit implementation
+        # (must be set before the backend initializes; no-op for TPU pods)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    else:
+        jax.distributed.initialize()  # pod metadata auto-detection
+    return True
 
 
 def create_mesh(
