@@ -78,6 +78,12 @@ class ClusterConfig:
     # on-device absorb phase merges under-min clusters into their
     # Ward-nearest neighbor (bounded by max_size) instead of dropping them.
     scale_reassign_dropped: bool = True
+    # Residency dtype of the bucketed engine's feature matrix: "float32"
+    # (default) or "bfloat16" (HALF the HBM — the single-chip envelope
+    # doubles to ~2e9 feature floats, e.g. 1.5M x 1000; arithmetic still
+    # accumulates f32). bfloat16 is a precision-caveated NON-parity mode
+    # like embed.quantize=int8: assignments can shift near distance ties.
+    feature_dtype: str = "float32"
 
 
 @dataclass
@@ -113,7 +119,9 @@ class EmbedConfig:
     # tower from `imageclust train` has len(classes) outputs). With
     # output="logits" this is also the embedding dim.
     num_classes: int = 1000
-    batch_size: int = 256
+    # 0 = auto: the tower's measured-best batch on one chip
+    # (models/registry.py DEFAULT_BATCH, e.g. resnet50 512, vit_b32 1024).
+    batch_size: int = 0
     # "logits" = the 1000-d head the reference reads (layer
     # "resnetv17_dense0_fwd", embeddings.go:140); "pooled" = 2048-d features.
     output: str = "logits"
@@ -182,6 +190,14 @@ class NamingConfig:
     max_tokens: int = 100  # claude-haiku.go:75
     temperature: float = 0.7  # claude-haiku.go:76
     input_char_limit: int = 1000  # claude-haiku.go:57
+    # Clusters named in flight at once (the reference names clusters one
+    # by one, workflow.go:187-229 — at the engine's 100k tier that is ~21k
+    # sequential LLM round trips). 16 keeps a Bedrock account inside
+    # default service quotas; raise it with provisioned throughput.
+    cluster_concurrency: int = 16
+    # Upper bound on LLM requests/second across all clusters and services
+    # (token bucket). 0 = unlimited.
+    rate_limit_rps: float = 0.0
 
 
 @dataclass
@@ -198,6 +214,11 @@ class ServiceConfig:
     # Retention for finished jobs (pruned after each new job).
     max_jobs: int = 50
     max_job_age_s: float = 7 * 24 * 3600.0
+    # clusters.html stays one self-contained file (reference parity,
+    # utils.go:23-214) up to this many clusters; bigger jobs paginate into
+    # clusters_p{k}.html shards behind an index page — a 100k-image job
+    # yields ~21k clusters, a single page a browser cannot open.
+    report_page_size: int = 500
 
 
 @dataclass

@@ -128,7 +128,9 @@ def _forward(
     if x.dtype == jnp.uint8:  # raw BGR NHWC: fused s2d stem
         x = _s2d_stem(params["conv0"], x, act_dtype)
     else:
-        if x.shape[1] == 3:  # NCHW -> NHWC
+        # NCHW only when unambiguous: a 3-pixel-tall NHWC batch also has
+        # shape[1] == 3, so require the trailing axis NOT be channel-like
+        if x.shape[1] == 3 and x.shape[-1] != 3:  # NCHW -> NHWC
             x = jnp.transpose(x, (0, 2, 3, 1))
         x = _fconv(params["conv0"], x, 2, 3, act_dtype)
     x = jax.nn.relu(x)

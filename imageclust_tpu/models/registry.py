@@ -34,6 +34,20 @@ log = logging.getLogger(__name__)
 
 __all__ = ["EmbedderSpec", "Embedder", "create_embedder", "list_models"]
 
+# Measured-best batch per tower on one v5e chip (BASELINE.md tower table).
+# Used when EmbedConfig.batch_size is 0 ("auto"). ViT-B/32's short 50-token
+# sequences leave lane slack that batch 1024 partly recovers (+6-9% over
+# 512: 8,074 vs 7,436 img/s); the big towers are at their ceiling at the
+# batch where activation memory still fits comfortably.
+DEFAULT_BATCH = {
+    "resnet50": 512,
+    "vit_b32": 1024,
+    "vit_b16": 256,
+    "vit_l14": 128,
+    "vit_l14_336": 64,
+    "siglip_so400m": 128,
+}
+
 
 @dataclass(frozen=True)
 class EmbedderSpec:
@@ -233,6 +247,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
     rng = jax.random.PRNGKey(rng_seed)
     dummy = jnp.zeros((1, 3, 224, 224), jnp.float32)
     variables = model.init(rng, dummy)
+    weights_loaded = True
     if cfg.checkpoint_path and os.path.exists(cfg.checkpoint_path):
         from imageclust_tpu.utils.checkpoint import restore_variables
 
@@ -242,6 +257,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
         variables = load_onnx_params(cfg.onnx_path, dict(variables))
         log.info("loaded ONNX weights from %s", cfg.onnx_path)
     else:
+        weights_loaded = False
         log.warning(
             "ONNX checkpoint %s not found — using random init "
             "(the reference mirror strips the blob, .MISSING_LARGE_BLOBS:1)",
@@ -264,6 +280,14 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
         if calib_path and os.path.exists(calib_path):
             calib_u8 = np.load(calib_path)[:32]
         else:
+            if weights_loaded:
+                log.warning(
+                    "int8 calibration is running on SYNTHETIC uniform-noise "
+                    "images against real (non-random-init) weights — the "
+                    "activation scales will not reflect real data and may "
+                    "clip; set IMAGECLUST_CALIB_NPY to a (B,224,224,3) "
+                    "uint8 sample of your corpus"
+                )
             calib_u8 = np.random.default_rng(0).integers(
                 0, 256, (8, 224, 224, 3), np.uint8)
         calib = calib_u8.astype(np.float32)[..., ::-1] / 255.0  # BGR->RGB
@@ -401,5 +425,6 @@ def create_embedder(
         spec, apply_fn, variables = _build_vit(cfg.model, cfg, seed)
     else:
         raise ValueError(f"unknown model {cfg.model!r}; know {list_models()}")
-    return Embedder(spec, apply_fn, variables, cfg.batch_size, mesh,
+    batch = cfg.batch_size or DEFAULT_BATCH.get(cfg.model, 256)
+    return Embedder(spec, apply_fn, variables, batch, mesh,
                     tag=_weights_tag(cfg, seed), raw_apply_fn=raw_apply_fn)

@@ -137,7 +137,13 @@ class TextEncoder:
 
         path = bpe_path or default_bpe_path()
         self.tokenizer = None
-        if os.path.exists(path):
+        # Auto-adopting a conventionally-placed merges file rewires
+        # vocab/eot_id; with caller-provided variables (e.g. a checkpoint
+        # trained with the hash tokenizer, vocab 16384) that would break at
+        # apply time with a shape mismatch — so with existing variables the
+        # BPE path requires an EXPLICIT bpe_path opt-in.
+        adopt_bpe = bpe_path is not None or variables is None
+        if adopt_bpe and os.path.exists(path):
             try:
                 self.tokenizer = BPETokenizer(
                     path, context=(cfg or TextConfig()).context)
