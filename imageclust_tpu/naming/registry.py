@@ -11,7 +11,11 @@ combination can be enabled via NamingConfig.services.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
+import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 from imageclust_tpu.config import NamingConfig
@@ -24,7 +28,31 @@ from imageclust_tpu.naming.base import (
 
 log = logging.getLogger(__name__)
 
-__all__ = ["NamingService", "create_naming_service", "build_namer"]
+__all__ = ["NamingService", "RateLimiter", "create_naming_service",
+           "build_namer"]
+
+
+class RateLimiter:
+    """Thread-safe token bucket bounding LLM requests/second across every
+    cluster and service worker. ``clock``/``sleep`` are injectable for
+    mock-clocked tests."""
+
+    def __init__(self, rps: float, clock=time.monotonic, sleep=time.sleep):
+        self.interval = 1.0 / rps if rps > 0 else 0.0
+        self._clock = clock
+        self._sleep = sleep
+        self._lock = threading.Lock()
+        self._next = clock()
+
+    def acquire(self) -> None:
+        if not self.interval:
+            return
+        with self._lock:
+            now = self._clock()
+            wait = self._next - now
+            self._next = max(self._next, now) + self.interval
+        if wait > 0:
+            self._sleep(wait)
 
 
 def build_namer(name: str, cfg: NamingConfig) -> Namer:
@@ -54,9 +82,13 @@ def build_namer(name: str, cfg: NamingConfig) -> Namer:
 
 
 class NamingService:
-    def __init__(self, namers: list[Namer], retries: int = 3):
+    def __init__(self, namers: list[Namer], retries: int = 3,
+                 cluster_concurrency: int = 16,
+                 rate_limit_rps: float = 0.0):
         self.namers = namers
         self.retries = retries
+        self.cluster_concurrency = max(1, cluster_concurrency)
+        self.limiter = RateLimiter(rate_limit_rps)
 
     def generate_multi(self, aggregated_text: str) -> list[ModelOutput]:
         """Fan out to every enabled service concurrently; return outputs
@@ -66,6 +98,7 @@ class NamingService:
 
         def run(namer: Namer) -> ModelOutput:
             try:
+                self.limiter.acquire()
                 title, phrase = namer.generate(aggregated_text, self.retries)
             except Exception as exc:  # a backend must never kill the job
                 log.error("namer %s raised: %s", namer.name, exc)
@@ -76,6 +109,85 @@ class NamingService:
             outputs = list(pool.map(run, self.namers))
         return sorted(outputs, key=lambda o: o.order)
 
+    def name_clusters(
+        self,
+        texts: dict[str, str],
+        state_path: str | None = None,
+        progress=None,
+    ) -> dict[str, list[ModelOutput]]:
+        """Name MANY clusters with bounded concurrency — the serving-tail
+        counterpart of the engine's 100k tier, where ~21k clusters named
+        one-by-one (the reference's loop, workflow.go:187-229) would take
+        hours against a ~1 s/request backend.
+
+        * ``cluster_concurrency`` clusters are in flight at once; within
+          each, services fan out exactly as :meth:`generate_multi` (the
+          per-cluster contract, wrapper.go:90-140, is unchanged).
+        * every LLM request passes the shared :class:`RateLimiter`.
+        * ``state_path``: JSONL of finished clusters, appended as each
+          completes (atomic enough for crash recovery: a torn last line is
+          discarded on load). Re-running the same job resumes — already
+          named clusters are served from the file without an LLM call.
+        * ``progress(done, total)`` is invoked on each completion; by
+          default a log line is emitted every ~5%.
+        """
+        done: dict[str, list[ModelOutput]] = {}
+        if state_path and os.path.exists(state_path):
+            done = _load_naming_state(state_path, set(texts))
+            if done:
+                log.info("naming state: %d/%d clusters already named",
+                         len(done), len(texts))
+        todo = [cid for cid in texts if cid not in done]
+        total = len(texts)
+        if not todo:
+            return {cid: done[cid] for cid in texts}
+
+        every = max(1, total // 20)
+        lock = threading.Lock()
+        state_fh = None
+        if state_path:
+            # a crash can leave a torn final line WITHOUT its newline — seal
+            # it so the next append doesn't merge into it (losing both)
+            if os.path.exists(state_path) and os.path.getsize(state_path):
+                with open(state_path, "rb") as fh:
+                    fh.seek(-1, os.SEEK_END)
+                    sealed = fh.read(1) == b"\n"
+            else:
+                sealed = True
+            state_fh = open(state_path, "a", encoding="utf-8")
+            if not sealed:
+                state_fh.write("\n")
+        counter = [len(done)]
+
+        def run(cid: str) -> tuple[str, list[ModelOutput]]:
+            outs = self.generate_multi(texts[cid])
+            with lock:
+                counter[0] += 1
+                n = counter[0]
+                if state_fh is not None:
+                    state_fh.write(json.dumps({
+                        "cluster": cid,
+                        "outputs": [[o.service_name, o.title,
+                                     o.catchy_phrase, o.order]
+                                    for o in outs],
+                    }) + "\n")
+                    state_fh.flush()
+            if progress is not None:
+                progress(n, total)
+            elif n % every == 0 or n == total:
+                log.info("naming: %d/%d clusters", n, total)
+            return cid, outs
+
+        try:
+            with ThreadPoolExecutor(
+                    max_workers=self.cluster_concurrency) as pool:
+                for cid, outs in pool.map(run, todo):
+                    done[cid] = outs
+        finally:
+            if state_fh is not None:
+                state_fh.close()
+        return {cid: done[cid] for cid in texts}
+
     def generate(self, aggregated_text: str, service_name: str) -> ModelOutput:
         """Single-service path (wrapper.go:72-87)."""
         for namer in self.namers:
@@ -85,7 +197,31 @@ class NamingService:
         return ModelOutput(service_name, FALLBACK_TITLE, FALLBACK_PHRASE, 0)
 
 
+def _load_naming_state(path: str, known: set[str]) -> dict[str, list[ModelOutput]]:
+    """Parse a naming-state JSONL, dropping a torn trailing line and any
+    clusters not in the current job (stale state files must not inject
+    ghost clusters)."""
+    out: dict[str, list[ModelOutput]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+                cid = rec["cluster"]
+                outs = [ModelOutput(s, t, p, o)
+                        for s, t, p, o in rec["outputs"]]
+            except (ValueError, KeyError, TypeError):
+                continue  # torn write from a crash mid-line
+            if cid in known:
+                out[cid] = outs
+    return out
+
+
 def create_naming_service(cfg: NamingConfig | None = None) -> NamingService:
     cfg = cfg or NamingConfig()
     namers = [build_namer(name, cfg) for name in cfg.services if name != "none"]
-    return NamingService(namers, retries=cfg.retries)
+    return NamingService(namers, retries=cfg.retries,
+                         cluster_concurrency=cfg.cluster_concurrency,
+                         rate_limit_rps=cfg.rate_limit_rps)

@@ -96,6 +96,7 @@ class Pipeline:
         max_size: int | None = None,
         profile_dir: str | None = None,
         image_route: str = "/api/image/",
+        report_routes: tuple[str, str] | None = None,
     ) -> PipelineResult:
         cfg = self.config
         min_size = cfg.cluster.min_size if min_size is None else min_size
@@ -123,6 +124,7 @@ class Pipeline:
             return self._run_core(
                 names, blobs, item_ids, work_dir, cache_dir,
                 min_size, max_size, metrics, timer, image_route,
+                report_routes,
             )
 
     def run_paths(
@@ -133,6 +135,7 @@ class Pipeline:
         max_size: int | None = None,
         profile_dir: str | None = None,
         image_route: str = "/api/image/",
+        report_routes: tuple[str, str] | None = None,
     ) -> PipelineResult:
         """Run over images already on disk WITHOUT loading them all into
         memory: file reads, decode, and the device forward are streamed in
@@ -169,6 +172,7 @@ class Pipeline:
             return self._run_core(
                 names, list(paths), item_ids, work_dir, cache_dir,
                 min_size, max_size, metrics, timer, image_route,
+                report_routes,
             )
 
     def _run_core(
@@ -183,6 +187,7 @@ class Pipeline:
         metrics: RunMetrics,
         timer: StageTimer,
         image_route: str,
+        report_routes: tuple[str, str] | None = None,
     ) -> PipelineResult:
         cfg = self.config
         # zero-shot labels come FROM the batch embeddings (computed
@@ -327,17 +332,26 @@ class Pipeline:
                     update_rule=cfg.cluster.scale_update_rule,
                     mesh=self.mesh,
                     reassign_dropped=cfg.cluster.scale_reassign_dropped,
+                    feature_dtype=cfg.cluster.feature_dtype,
                 )
-            metrics.counters["clusters"] = len(result.cluster_map)
+            metrics.counters["clusters"] = result.n_clusters
             metrics.counters["dropped"] = len(result.dropped)
 
         with timer.stage("name"):
             details = self._prepare_cluster_details(
-                result.cluster_map, item_ids, names, per_image_labels
+                result.cluster_map, item_ids, names, per_image_labels,
+                work_dir=work_dir,
             )
 
         with timer.stage("report"):
-            html_path = write_report(details, work_dir, image_route)
+            # report_routes = (page_route, index_route) for job-scoped
+            # pagination links; file-relative defaults otherwise
+            page_route, index_route = report_routes or (
+                "clusters_p{page}.html", "clusters.html")
+            html_path = write_report(
+                details, work_dir, image_route,
+                page_size=cfg.service.report_page_size,
+                page_route=page_route, index_route=index_route)
 
         id_to_name = dict(zip(item_ids, names))
         dropped_names = [id_to_name[i] for i in result.dropped]
@@ -405,11 +419,17 @@ class Pipeline:
         item_ids: list[str],
         names: list[str],
         per_image_labels,
+        work_dir: str | None = None,
     ) -> dict[str, ClusterDetails]:
-        """workflow.go:187-229 with deterministic label order and a working
-        primary-title assignment."""
+        """workflow.go:187-229 with deterministic label order, a working
+        primary-title assignment, and the naming stage scaled to the
+        engine's tier: clusters are named through
+        :meth:`NamingService.name_clusters` (bounded concurrency across
+        clusters, shared rate limit, resumable JSONL state under the job's
+        work dir — re-running a crashed job skips already-named clusters)."""
         id_to_idx = {iid: i for i, iid in enumerate(item_ids)}
         details: dict[str, ClusterDetails] = {}
+        texts: dict[str, str] = {}
         for cluster_id, members in cluster_map.items():
             d = ClusterDetails()
             seen_labels: list[str] = []
@@ -420,11 +440,18 @@ class Pipeline:
                         seen_labels.append(label.name)
                 d.images.append(names[idx])
             d.labels = ", ".join(seen_labels)
+            key = f"Cluster-{cluster_id}"  # workflow.go:192
+            details[key] = d
+            texts[key] = d.labels
 
-            for out in self.naming.generate_multi(d.labels):
+        state_path = os.path.join(work_dir, "naming_state.jsonl") \
+            if work_dir else None
+        outputs = self.naming.name_clusters(texts, state_path=state_path)
+        for key, outs in outputs.items():
+            d = details[key]
+            for out in outs:
                 d.set_output(out)
             if d.service_outputs:  # primary = first in display order
                 d.title = d.service_outputs[0].title
                 d.catchy_phrase = d.service_outputs[0].catchy_phrase
-            details[f"Cluster-{cluster_id}"] = d  # workflow.go:192
         return details

@@ -113,6 +113,7 @@ def _image_url(image_route: str, name: str) -> str:
 def render_report(
     clusters: dict[str, ClusterDetails],
     image_route: str = "/api/image/",
+    nav_html: str = "",
 ) -> str:
     cards = []
     for cluster_id in sorted(clusters, key=_cluster_sort_key):
@@ -147,7 +148,8 @@ def render_report(
             )
         )
     meta = f"{len(clusters)} clusters"
-    return _PAGE.format(meta=html.escape(meta), clusters="\n".join(cards))
+    body = nav_html + "\n".join(cards) + nav_html
+    return _PAGE.format(meta=html.escape(meta), clusters=body)
 
 
 def _cluster_sort_key(cluster_id: str):
@@ -156,15 +158,77 @@ def _cluster_sort_key(cluster_id: str):
     return (0, int(tail)) if tail.isdigit() else (1, cluster_id)
 
 
+_DEFAULT_PAGE_SIZE = 500
+
+
+def _page_url(page_route: str, page: int) -> str:
+    return html.escape(page_route.format(page=page), quote=True)
+
+
+def _write_atomic(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
+
+
 def write_report(
     clusters: dict[str, ClusterDetails],
     out_dir: str,
     image_route: str = "/api/image/",
+    page_size: int = _DEFAULT_PAGE_SIZE,
+    page_route: str = "clusters_p{page}.html",
+    index_route: str = "clusters.html",
 ) -> str:
-    """Write <out_dir>/clusters.html (utils.go:205-211) and return its path."""
+    """Write <out_dir>/clusters.html (utils.go:205-211) and return its path.
+
+    Up to ``page_size`` clusters, the report is the reference's single
+    self-contained file. Beyond that — a 100k-image job yields ~21k
+    clusters, a multi-tens-of-MB page no browser should be asked to open —
+    clusters.html becomes an INDEX page and the cards are sharded into
+    ``clusters_p{k}.html`` files of at most ``page_size`` clusters each,
+    with index/prev/next navigation. ``page_route`` templates the page
+    links ("clusters_p{page}.html" for file:// use;
+    "/api/view?job=X&page={page}" when served job-scoped)."""
     path = os.path.join(out_dir, "clusters.html")
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(render_report(clusters, image_route))
-    os.replace(tmp, path)
+    if len(clusters) <= page_size:
+        _write_atomic(path, render_report(clusters, image_route))
+        return path
+
+    order = sorted(clusters, key=_cluster_sort_key)
+    pages = [order[i:i + page_size] for i in range(0, len(order), page_size)]
+    n_pages = len(pages)
+    index_rows = []
+    for k, ids in enumerate(pages, start=1):
+        nav = ['<div class="meta">']
+        nav.append(f'<a href="{html.escape(index_route, quote=True)}">'
+                   "Index</a>")
+        if k > 1:
+            nav.append(f' | <a href="{_page_url(page_route, k - 1)}">'
+                       "&laquo; Prev</a>")
+        nav.append(f" | Page {k} of {n_pages}")
+        if k < n_pages:
+            nav.append(f' | <a href="{_page_url(page_route, k + 1)}">'
+                       "Next &raquo;</a>")
+        nav.append("</div>")
+        page_clusters = {cid: clusters[cid] for cid in ids}
+        _write_atomic(
+            os.path.join(out_dir, f"clusters_p{k}.html"),
+            render_report(page_clusters, image_route,
+                          nav_html="".join(nav)),
+        )
+        n_images = sum(len(clusters[c].images) for c in ids)
+        index_rows.append(
+            f'<li><a href="{_page_url(page_route, k)}">Page {k}</a>: '
+            f"{html.escape(ids[0])} &ndash; {html.escape(ids[-1])} "
+            f"({len(ids)} clusters, {n_images} images)</li>"
+        )
+    total_images = sum(len(d.images) for d in clusters.values())
+    index = _PAGE.format(
+        meta=html.escape(
+            f"{len(clusters)} clusters, {total_images} images — "
+            f"paginated into {n_pages} pages of up to {page_size}"),
+        clusters='<ul class="labels">' + "".join(index_rows) + "</ul>",
+    )
+    _write_atomic(path, index)
     return path

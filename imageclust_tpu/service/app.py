@@ -121,6 +121,10 @@ def create_app(
                 result = await asyncio.to_thread(
                     pipeline.run, uploads, job.work_dir, min_size, max_size,
                     image_route=f"/api/image/{{name}}?job={job.job_id}",
+                    report_routes=(
+                        f"/api/view?job={job.job_id}&page={{page}}",
+                        f"/api/view?job={job.job_id}",
+                    ),
                 )
             _write_result(job, result)
             jobs.set_status(job, "done")
@@ -203,6 +207,10 @@ def create_app(
                 result = await asyncio.to_thread(
                     pipeline.run, uploads, job.work_dir, min_size, max_size,
                     image_route=f"/api/image/{{name}}?job={job.job_id}",
+                    report_routes=(
+                        f"/api/view?job={job.job_id}&page={{page}}",
+                        f"/api/view?job={job.job_id}",
+                    ),
                 )
         except Exception as exc:
             log.exception("job %s failed", job.job_id)
@@ -238,6 +246,15 @@ def create_app(
         job = jobs.get(request.query.get("job"))
         if job is None or not os.path.exists(job.html_path):
             return _error(404, "No HTML file available")  # handlers.go:134
+        page = request.query.get("page")
+        if page is not None:
+            if not page.isdigit():  # int-only: no path material in the name
+                return _error(400, "invalid page")
+            ppath = os.path.join(os.path.dirname(job.html_path),
+                                 f"clusters_p{int(page)}.html")
+            if not os.path.exists(ppath):
+                return _error(404, "no such report page")
+            return web.FileResponse(ppath)
         return web.FileResponse(job.html_path)
 
     async def image_handler(request: web.Request) -> web.StreamResponse:

@@ -207,3 +207,137 @@ class TestOpenAI:
         n = OpenAINamer(retry_delay_s=0.0)
         assert n.generate("features", 3) == ("T", "P")
         assert calls["n"] == 2
+
+
+class _CountingNamer:
+    """Sleeping namer that records call count and peak concurrency."""
+
+    name = "Counting"
+    order = 1
+
+    def __init__(self, delay=0.002):
+        import threading
+
+        self.delay = delay
+        self.calls = 0
+        self.inflight = 0
+        self.peak = 0
+        self._lock = threading.Lock()
+
+    def generate(self, text, retries):
+        import time
+
+        with self._lock:
+            self.calls += 1
+            self.inflight += 1
+            self.peak = max(self.peak, self.inflight)
+        time.sleep(self.delay)
+        with self._lock:
+            self.inflight -= 1
+        return f"T:{text[:10]}", f"P:{text[:10]}"
+
+
+class TestClusterFanOut:
+    """VERDICT r2 item 3: the naming stage must scale to the engine's
+    tier — bounded concurrency ACROSS clusters (default
+    NamingConfig.cluster_concurrency=16), a shared rate limit, progress,
+    and resumable per-cluster state."""
+
+    def test_5k_clusters_bounded_wall_time(self):
+        import time
+
+        namer = _CountingNamer(delay=0.002)
+        svc = NamingService([namer], cluster_concurrency=64)
+        texts = {f"Cluster-{i}": f"labels {i}" for i in range(5000)}
+        t0 = time.monotonic()
+        outs = svc.name_clusters(texts)
+        wall = time.monotonic() - t0
+        assert set(outs) == set(texts)
+        assert namer.calls == 5000
+        assert namer.peak > 8  # genuinely concurrent across clusters
+        # serial would be >= 10 s; the fan-out must stay well under
+        assert wall < 5.0, f"naming 5k clusters took {wall:.1f}s"
+        assert outs["Cluster-17"][0].title == "T:labels 17"
+
+    def test_resume_skips_named_clusters(self, tmp_path):
+        state = tmp_path / "naming_state.jsonl"
+        texts = {f"Cluster-{i}": f"labels {i}" for i in range(10)}
+        namer = _CountingNamer(delay=0.0)
+        svc = NamingService([namer], cluster_concurrency=4)
+        first = svc.name_clusters(texts, state_path=str(state))
+        assert namer.calls == 10
+        # second run: everything served from state, zero LLM calls
+        namer2 = _CountingNamer(delay=0.0)
+        svc2 = NamingService([namer2], cluster_concurrency=4)
+        again = svc2.name_clusters(texts, state_path=str(state))
+        assert namer2.calls == 0
+        assert {k: [(o.service_name, o.title) for o in v]
+                for k, v in again.items()} == {
+                    k: [(o.service_name, o.title) for o in v]
+                    for k, v in first.items()}
+
+    def test_resume_partial_and_torn_line(self, tmp_path):
+        state = tmp_path / "naming_state.jsonl"
+        state.write_text(
+            json.dumps({"cluster": "Cluster-0",
+                        "outputs": [["Counting", "T0", "P0", 1]]})
+            + "\n"
+            + json.dumps({"cluster": "Cluster-ghost",
+                          "outputs": [["Counting", "G", "G", 1]]})
+            + "\n"
+            + '{"cluster": "Cluster-1", "outp'  # torn crash write
+        )
+        texts = {f"Cluster-{i}": f"labels {i}" for i in range(3)}
+        namer = _CountingNamer(delay=0.0)
+        svc = NamingService([namer], cluster_concurrency=2)
+        outs = svc.name_clusters(texts, state_path=str(state))
+        # Cluster-0 restored, ghost ignored, torn line re-named
+        assert namer.calls == 2
+        assert outs["Cluster-0"][0].title == "T0"
+        assert set(outs) == set(texts)
+        # the torn line was replaced by a valid append; reload is complete
+        namer3 = _CountingNamer(delay=0.0)
+        svc3 = NamingService([namer3], cluster_concurrency=2)
+        svc3.name_clusters(texts, state_path=str(state))
+        assert namer3.calls == 0
+
+    def test_rate_limiter_mock_clock(self):
+        from imageclust_tpu.naming.registry import RateLimiter
+
+        now = [100.0]
+        slept = []
+
+        def clock():
+            return now[0]
+
+        def sleep(s):
+            slept.append(s)
+            now[0] += s
+
+        rl = RateLimiter(10.0, clock=clock, sleep=sleep)
+        for _ in range(5):
+            rl.acquire()
+        # 5 acquisitions at 10 rps: first free, rest spaced 0.1 s apart
+        assert abs(sum(slept) - 0.4) < 1e-9
+
+    def test_rate_limiter_disabled(self):
+        from imageclust_tpu.naming.registry import RateLimiter
+
+        rl = RateLimiter(0.0)
+        for _ in range(100):
+            rl.acquire()  # must not sleep or raise
+
+    def test_progress_callback(self):
+        seen = []
+        svc = NamingService([_CountingNamer(delay=0.0)],
+                            cluster_concurrency=2)
+        texts = {f"c{i}": "x" for i in range(7)}
+        svc.name_clusters(texts, progress=lambda d, t: seen.append((d, t)))
+        assert len(seen) == 7
+        assert seen[-1] == (7, 7)
+
+    def test_config_plumbs_fanout_knobs(self):
+        svc = create_naming_service(NamingConfig(
+            services=("fake",), cluster_concurrency=5, rate_limit_rps=2.0))
+        assert svc.cluster_concurrency == 5
+        assert abs(svc.limiter.interval - 0.5) < 1e-9

@@ -81,3 +81,78 @@ class TestClusterDetails:
         assert out["serviceOutputs"][0] == {
             "serviceName": "S", "title": "a", "catchyPhrase": "b"
         }
+
+
+def _many_clusters(n):
+    out = {}
+    for i in range(n):
+        d = ClusterDetails()
+        d.labels = f"label-{i}"
+        d.images = [f"img_{i}_a.jpg", f"img_{i}_b.jpg"]
+        d.set_output(ModelOutput("Offline Namer", f"T{i}", f"P{i}", 0))
+        out[f"Cluster-{i}"] = d
+    return out
+
+
+class TestPagination:
+    """VERDICT r2 item 4: above page_size, clusters.html becomes an index
+    and cards shard into bounded pages (a 21k-cluster report must open)."""
+
+    def test_below_threshold_single_file(self, tmp_path):
+        clusters = _many_clusters(5)
+        path = write_report(clusters, str(tmp_path), page_size=5)
+        assert os.path.basename(path) == "clusters.html"
+        content = open(path).read()
+        for i in range(5):
+            assert f"T{i}" in content  # all cards inline — reference parity
+        assert not [p for p in os.listdir(tmp_path)
+                    if p.startswith("clusters_p")]
+
+    def test_paginates_above_threshold(self, tmp_path):
+        clusters = _many_clusters(12)
+        path = write_report(clusters, str(tmp_path), page_size=5)
+        index = open(path).read()
+        pages = sorted(p for p in os.listdir(tmp_path)
+                       if p.startswith("clusters_p"))
+        assert pages == ["clusters_p1.html", "clusters_p2.html",
+                         "clusters_p3.html"]
+        # index links every page and reports totals, but holds no cards
+        for p in range(1, 4):
+            assert f"clusters_p{p}.html" in index
+        assert "12 clusters, 24 images" in index
+        assert '<table class="comparison-table">' not in index
+        # every cluster appears on exactly one page; page sizes bounded
+        seen = []
+        for p in pages:
+            content = open(os.path.join(str(tmp_path), p)).read()
+            ids = [i for i in range(12) if f">T{i}<" in content]
+            assert 0 < len(ids) <= 5
+            seen += ids
+        assert sorted(seen) == list(range(12))
+        # nav: first page has Next but no Prev; last the reverse
+        p1 = open(os.path.join(str(tmp_path), "clusters_p1.html")).read()
+        p3 = open(os.path.join(str(tmp_path), "clusters_p3.html")).read()
+        assert "Next" in p1 and "Prev" not in p1
+        assert "Prev" in p3 and "Next" not in p3
+        assert 'href="clusters.html"' in p1  # index link
+
+    def test_job_scoped_routes(self, tmp_path):
+        clusters = _many_clusters(7)
+        write_report(
+            clusters, str(tmp_path), page_size=3,
+            page_route="/api/view?job=j1&page={page}",
+            index_route="/api/view?job=j1")
+        index = open(os.path.join(str(tmp_path), "clusters.html")).read()
+        assert "/api/view?job=j1&amp;page=2" in index
+        p2 = open(os.path.join(str(tmp_path), "clusters_p2.html")).read()
+        assert "/api/view?job=j1&amp;page=1" in p2  # prev
+        assert "/api/view?job=j1&amp;page=3" in p2  # next
+
+    def test_pages_keep_ordering(self, tmp_path):
+        # numeric ordering must hold ACROSS page boundaries
+        clusters = _many_clusters(11)
+        write_report(clusters, str(tmp_path), page_size=4)
+        p1 = open(os.path.join(str(tmp_path), "clusters_p1.html")).read()
+        assert ">T0<" in p1 and ">T3<" in p1 and ">T4<" not in p1
+        p3 = open(os.path.join(str(tmp_path), "clusters_p3.html")).read()
+        assert ">T8<" in p3 and ">T10<" in p3

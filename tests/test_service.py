@@ -467,3 +467,42 @@ class TestJobScopedReportImages:
             assert r.status == 200
 
         _run(_with_client(app_factory(), scenario))
+
+
+class TestPaginatedView:
+    """Job-scoped report pagination: /api/view?job=X&page=N serves the
+    clusters_p{N}.html shard written by write_report above page_size."""
+
+    def test_view_page_route(self, tmp_path, rng):
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+            service=ServiceConfig(work_dir=str(tmp_path / "jobs"),
+                                  report_page_size=1),
+        )
+        pipeline = Pipeline(cfg, embedder=MeanColorEmbedder())
+        app = create_app(cfg, pipeline, JobStore(str(tmp_path / "jobs")))
+        names, blobs = color_group_images(rng, n_groups=3, per_group=4)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 3, 6))
+            assert resp.status == 200
+            data = await resp.json()
+            job = data["jobId"]
+            idx = await client.get(f"/api/view?job={job}")
+            assert idx.status == 200
+            text = await idx.text()
+            # the index links its pages with job-scoped routes
+            assert f"job={job}&amp;page=1" in text
+            assert '<table class="comparison-table">' not in text
+            p1 = await client.get(f"/api/view?job={job}&page=1")
+            assert p1.status == 200
+            t1 = await p1.text()
+            assert '<table class="comparison-table">' in t1
+            missing = await client.get(f"/api/view?job={job}&page=99")
+            assert missing.status == 404
+            bad = await client.get(f"/api/view?job={job}&page=..x")
+            assert bad.status == 400
+
+        _run(_with_client(app, scenario))
