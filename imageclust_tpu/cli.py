@@ -199,6 +199,30 @@ def cmd_bank(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Weight-parity gate for real checkpoints (VERDICT r2 item 7):
+    ingest -> embed fixed images -> compare vs cv2.dnn (the reference's
+    own runtime) -> cluster-assignment equality. Prints a JSON report and
+    a PASS/FAIL verdict; exit code reflects the verdict."""
+    import json
+
+    from imageclust_tpu.verify import run_verify
+
+    try:
+        ok, report = run_verify(
+            onnx=args.onnx or None, clip=args.clip or None,
+            bpe=args.bpe or None, images=args.images or None,
+            sample=args.sample,
+        )
+    except Exception as exc:
+        print(json.dumps({"ok": False, "error": str(exc)}, indent=2))
+        print("VERDICT: FAIL (structural)")
+        return 2
+    print(json.dumps(report, indent=2))
+    print(f"VERDICT: {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
 def cmd_models(args) -> int:
     from imageclust_tpu.models import list_models
 
@@ -271,6 +295,23 @@ def main(argv: list[str] | None = None) -> int:
     p_export.add_argument("--out", default="embedder.onnx")
     _add_common(p_export)
     p_export.set_defaults(fn=cmd_export)
+
+    p_verify = sub.add_parser(
+        "verify",
+        help="weight-parity gate: compare real checkpoints against the "
+             "reference's runtime (cv2.dnn) on fixed images",
+    )
+    p_verify.add_argument("--onnx", default="",
+                          help="resnet50-v1-7.onnx (or compatible export)")
+    p_verify.add_argument("--clip", default="",
+                          help="CLIP vision checkpoint (.pt/.bin/.npz)")
+    p_verify.add_argument("--bpe", default="",
+                          help="CLIP BPE merges file (with --clip)")
+    p_verify.add_argument("--images", default="",
+                          help="real images for the fixture (default: "
+                               "seeded synthetics)")
+    p_verify.add_argument("--sample", type=int, default=8)
+    p_verify.set_defaults(fn=cmd_verify)
 
     p_models = sub.add_parser("models", help="list embedder models")
     p_models.set_defaults(fn=cmd_models)
