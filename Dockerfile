@@ -1,10 +1,17 @@
 # Deployment image for the imageclust-tpu service.
 #
 # Counterpart of the reference's 3-stage Dockerfile (node build -> Go+OpenCV
-# source build -> slim runtime, Dockerfile:1-75). Here there is no frontend
-# build step (the SPA is static, frontend/build/) and no OpenCV source build;
-# the native runtime compiles in seconds. The image targets Cloud TPU VMs —
+# source build -> slim runtime, Dockerfile:1-75). The frontend stage builds
+# the React SPA source (frontend/src, vite) into frontend/build — falling
+# back to the prebuilt dependency-free static page already committed there
+# if npm is unavailable; no OpenCV source build is needed (wheels); the
+# native runtime compiles in seconds. The image targets Cloud TPU VMs —
 # the libtpu-enabled jax wheel is selected via the TPU extra.
+
+FROM node:18-slim AS frontend
+WORKDIR /fe
+COPY frontend/ ./
+RUN npm install && npm run build
 
 FROM python:3.12-slim AS build
 RUN apt-get update && apt-get install -y --no-install-recommends \
@@ -20,7 +27,7 @@ RUN pip install --no-cache-dir \
     flax optax orbax-checkpoint aiohttp requests pyyaml numpy regex \
     opencv-python-headless pillow
 COPY imageclust_tpu/ imageclust_tpu/
-COPY frontend/build/ frontend/build/
+COPY --from=frontend /fe/build/ frontend/build/
 COPY bench.py pyproject.toml README.md ./
 COPY --from=build /app/native/libicnative.so native/libicnative.so
 
