@@ -224,28 +224,179 @@ def _bucket_chunk(feats, bucket_idx, counts, targets, max_size, min_size,
     )(xs, counts, targets)
 
 
-# buckets per dispatch: bounds the gathered working set at
-# chunk * bucket_size * d floats so it never mirrors the whole feature
-# matrix — an un-chunked feats[bucket_idx] is a second full (n, d) copy in
-# HBM, halving the single-chip capacity ceiling
-_BUCKET_CHUNK = 1024
+@partial(jax.jit, static_argnames=("update_rule", "absorb", "interpret"),
+         donate_argnums=())
+def _bucket_chunk_fused(feats, bucket_idx, counts, targets, max_size,
+                        min_size, update_rule="lance_williams", absorb=True,
+                        interpret=False):
+    """The fused-kernel form of :func:`_bucket_chunk`: ONE explicit
+    lockstep while_loop over the whole chunk whose per-iteration hot step
+    is :func:`ops.pallas_kernels.merge_update_argmin_batched` — every
+    bucket matrix is streamed once per merge (pending update applied in
+    place + feasible-pair argmin in the same pass) instead of the unfused
+    body's ~7 passes. Semantics (tie-breaks, absorb phase, per-bucket
+    freezing exactly like vmap's while_loop batching rule) are identical
+    to the vmapped loop — pinned by tests. Requires B % 128 == 0."""
+    from imageclust_tpu.ops.pallas_kernels import merge_update_argmin_batched
+    from imageclust_tpu.cluster.ward import ward_update_vector
+
+    xs = feats[bucket_idx].astype(jnp.float32)  # (C, B, d)
+    C, B, _ = xs.shape
+    i32 = jnp.int32
+    f32 = jnp.float32
+    col = jnp.arange(B, dtype=i32)[None, :]
+    active0 = col < counts[:, None]
+    D = jax.vmap(pairwise_ward_singleton)(xs)
+    carry = (
+        D,
+        active0.astype(i32),                              # sizes
+        jnp.where(active0, col, _BIG_I32 - B + col),      # births
+        xs,                                               # cents
+        active0,                                          # active
+        counts.astype(i32),                               # counter
+        counts.astype(i32),                               # num_active
+        jnp.zeros((C, max(B - 1, 1), 3), i32),            # log
+        jnp.zeros((C,), i32),                             # step
+        jnp.ones((C,), bool),                             # found
+        jnp.zeros((C,), i32),                             # pending sa
+        jnp.zeros((C, B), f32),                           # pending dvec
+        jnp.zeros((C,), i32),                             # pending do
+    )
+
+    def make_body(amin, run_fn):
+        def body(carry):
+            (D, sizes, births, cents, active, counter, num_active, log,
+             step, found, p_sa, p_dvec, p_do) = carry
+            run = run_fn(found, num_active, active, sizes)
+            D, dmin, m1, m2 = merge_update_argmin_batched(
+                D, p_dvec, p_sa, p_do, births, sizes, active,
+                max_size, amin, interpret=interpret)
+            fin = jnp.isfinite(dmin)
+            proceed = run & fin
+
+            sa = jnp.argmax(births == m1[:, None], axis=1).astype(i32)
+            sb = jnp.argmax(births == m2[:, None], axis=1).astype(i32)
+
+            def take1(arr, idxs):
+                return jnp.take_along_axis(arr, idxs[:, None], axis=1)[:, 0]
+
+            s_a = take1(sizes, sa)
+            s_b = take1(sizes, sb)
+            s_new = s_a + s_b
+            c_a = jnp.take_along_axis(cents, sa[:, None, None], axis=1)[:, 0]
+            c_b = jnp.take_along_axis(cents, sb[:, None, None], axis=1)[:, 0]
+            c_new = (s_a.astype(f32)[:, None] * c_a
+                     + s_b.astype(f32)[:, None] * c_b) \
+                / s_new.astype(f32)[:, None]
+            d_a = jnp.take_along_axis(D, sa[:, None, None], axis=1)[:, 0]
+            d_b = jnp.take_along_axis(D, sb[:, None, None], axis=1)[:, 0]
+            d_ab = take1(d_a, sb)
+            dvec = jax.vmap(
+                lambda szf, saf, sbf, snf, da, db, dab, ce, cn:
+                ward_update_vector(
+                    update_rule, sizes_f=szf, s_a_f=saf, s_b_f=sbf,
+                    s_new_f=snf, d_a=da, d_b=db, d_ab=dab,
+                    cents=ce, c_new=cn)
+            )(sizes.astype(f32), s_a.astype(f32), s_b.astype(f32),
+              s_new.astype(f32), d_a, d_b, d_ab, cents, c_new)
+            is_sa = col == sa[:, None]
+            is_sb = col == sb[:, None]
+            dvec = jnp.where(is_sa, 0.0, dvec)
+
+            new_birth = counter
+            pro = proceed[:, None]
+            sizes = jnp.where(pro & is_sa, s_new[:, None],
+                              jnp.where(pro & is_sb, 0, sizes))
+            births = jnp.where(pro & is_sa, new_birth[:, None], births)
+            if update_rule == "centroid":  # LW never reads cents
+                cents = jnp.where((pro & is_sa)[:, :, None],
+                                  c_new[:, None, :], cents)
+            active = jnp.where(pro & is_sb, False, active)
+            rows = jnp.arange(log.shape[1], dtype=i32)[None, :]
+            hit = (rows == step[:, None]) & pro
+            triple = jnp.stack([m1, m2, new_birth], axis=1)
+            log = jnp.where(hit[:, :, None], triple[:, None, :], log)
+            counter = jnp.where(proceed, counter + 1, counter)
+            num_active = jnp.where(proceed, num_active - 1, num_active)
+            step = jnp.where(proceed, step + 1, step)
+            found = jnp.where(run, fin, found)
+            p_sa = jnp.where(proceed, sa, p_sa)
+            p_dvec = jnp.where(pro, dvec, p_dvec)
+            p_do = jnp.where(run, fin.astype(i32), p_do)
+            return (D, sizes, births, cents, active, counter, num_active,
+                    log, step, found, p_sa, p_dvec, p_do)
+
+        return body
+
+    def main_run(found, num_active, active, sizes):
+        return found & (num_active > targets)
+
+    carry = jax.lax.while_loop(
+        lambda c: jnp.any(c[9] & (c[6] > targets)),
+        make_body(jnp.int32(-1), main_run),
+        carry,
+    )
+    if absorb:
+        def absorb_run(found, num_active, active, sizes):
+            return found & jnp.any(active & (sizes < min_size), axis=1)
+
+        carry = (*carry[:9], jnp.ones((C,), bool), *carry[10:])
+        carry = jax.lax.while_loop(
+            lambda c: jnp.any(
+                c[9] & jnp.any(c[4] & (c[1] < min_size), axis=1)),
+            make_body(jnp.asarray(min_size, i32), absorb_run),
+            carry,
+        )
+    return carry[7], carry[8], carry[2], carry[1], carry[4]
+
+
+def _chunk_width(bucket_size: int, d: int) -> int:
+    """Buckets per dispatch. Two forces: the per-chunk working set
+    (gathered rows chunk*B*d + distance matrices chunk*B^2) must stay
+    ~<= 2 GB so it never mirrors the whole feature matrix in HBM, and the
+    chunk should be as WIDE as that allows — the vmapped while_loop runs
+    ~B iterations per chunk regardless of width, so narrow chunks multiply
+    per-iteration dispatch overhead by the chunk count (measured at
+    10M x 64 / B=256: 51 chunks of 1024 = 72 s of merge time, ~5 ms per
+    iteration of overhead; 4096-wide chunks amortize it 4x)."""
+    per_bucket = bucket_size * 4 * max(d, bucket_size)
+    width = (2 << 30) // max(1, per_bucket)
+    return max(256, min(4096, 1 << (width.bit_length() - 1)))
 
 
 def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
                  update_rule="lance_williams", absorb=True):
     """Single-device bucket engine, chunked over the bucket axis. Each
     chunk dispatches independently (the chunks pipeline on device); outputs
-    are concatenated on the host side as numpy by the caller."""
+    are concatenated on the host side as numpy by the caller.
+
+    The per-chunk merge loop runs the fused-kernel form
+    (:func:`_bucket_chunk_fused`) whenever the bucket width is
+    stripe-aligned and the fused path is enabled (same
+    IMAGECLUST_FUSED_MERGE policy as the exact engine: default on TPU,
+    "1" forces interpret mode off-TPU for tests, "0" opts out) — the
+    vmapped unfused loop otherwise; both are result-identical
+    (test-pinned)."""
+    from imageclust_tpu.cluster.ward import _use_fused_loop
+
+    B = int(bucket_idx.shape[1])
+    if B >= 128 and B % 128 == 0 and _use_fused_loop():
+        interp = jax.default_backend() != "tpu"
+        chunk = partial(_bucket_chunk_fused, update_rule=update_rule,
+                        absorb=absorb, interpret=interp)
+    else:
+        chunk = partial(_bucket_chunk, update_rule=update_rule,
+                        absorb=absorb)
     nb = bucket_idx.shape[0]
-    if nb <= _BUCKET_CHUNK:
-        return _bucket_chunk(feats, bucket_idx, counts, targets, max_size,
-                             min_size, update_rule=update_rule, absorb=absorb)
+    chunk_w = _chunk_width(B, int(feats.shape[1]))
+    if nb <= chunk_w:
+        return chunk(feats, bucket_idx, counts, targets, max_size, min_size)
     outs = []
-    for s in range(0, nb, _BUCKET_CHUNK):
-        e = min(s + _BUCKET_CHUNK, nb)
+    for s in range(0, nb, chunk_w):
+        e = min(s + chunk_w, nb)
         # pad the tail chunk to the full chunk width (empty buckets merge
         # zero times) so every dispatch shares ONE compiled shape
-        pad = _BUCKET_CHUNK - (e - s)
+        pad = chunk_w - (e - s)
         bi = bucket_idx[s:e]
         ct = counts[s:e]
         tg = targets[s:e]
@@ -254,8 +405,7 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
                 [bi, jnp.zeros((pad, bi.shape[1]), bi.dtype)])
             ct = jnp.concatenate([ct, jnp.zeros(pad, ct.dtype)])
             tg = jnp.concatenate([tg, jnp.zeros(pad, tg.dtype)])
-        out = _bucket_chunk(feats, bi, ct, tg, max_size, min_size,
-                            update_rule=update_rule, absorb=absorb)
+        out = chunk(feats, bi, ct, tg, max_size, min_size)
         outs.append(out if not pad
                     else tuple(o[: e - s] for o in out))
     return tuple(jnp.concatenate([o[i] for o in outs])
@@ -839,10 +989,12 @@ def constrained_ward_bucketed(
 
     counts = np.zeros(nb, np.int32)
     targets = np.zeros(nb, np.int32)
+    bucket_idx = np.zeros((nb, bucket_size), np.int32)
     for bi, members in enumerate(buckets):
         c = len(members)
         counts[bi] = c
         targets[bi] = _bucket_target(c, min_size, max_size) if c else 0
+        bucket_idx[bi, :c] = members
 
     if mesh is not None:
         # owner-aligned path: features row-sharded, one all_to_all moves
@@ -879,9 +1031,6 @@ def constrained_ward_bucketed(
             np.int32(max_size), np.int32(min_size),
         )
     else:
-        bucket_idx = np.zeros((nb, bucket_size), np.int32)
-        for bi, members in enumerate(buckets):
-            bucket_idx[bi, : len(members)] = members
         logs, steps, births, sizes, active = _all_buckets(
             feats, jnp.asarray(bucket_idx), jnp.asarray(counts),
             jnp.asarray(targets), jnp.int32(max_size), jnp.int32(min_size),
@@ -893,32 +1042,33 @@ def constrained_ward_bucketed(
     active = _to_host(active)
 
     dropped_idx: list[int] = []
-    all_logs: list[np.ndarray] = []
-    next_internal = n  # global stamp space for exported merges
-    for bi, members in enumerate(buckets):
-        c = len(members)
-        if c == 0:
-            continue
-        log_b = logs[bi][: int(steps[bi])]
-        if len(log_b):
-            # Re-stamp the bucket-LOCAL log into one global birth space so
-            # ClusterResult.merges is a valid dendrogram like the exact and
-            # chain engines': leaf stamps (< c) become global item indices;
-            # internal stamps become fresh ids past n. The bucket loop
-            # assigns internal births sequentially (new = c + row), so the
-            # internal remap is just an offset.
-            marr = np.asarray(members, np.int32)
-            base = next_internal
-
-            def restamp(col):
-                return np.where(col < c, marr[np.clip(col, 0, c - 1)],
-                                base + (col - c)).astype(np.int32)
-
-            all_logs.append(np.stack([
-                restamp(log_b[:, 0]), restamp(log_b[:, 1]),
-                base + np.arange(len(log_b), dtype=np.int32),
-            ], axis=1))
-            next_internal += len(log_b)
+    # Re-stamp the bucket-LOCAL logs into one global birth space so
+    # ClusterResult.merges is a valid dendrogram like the exact and chain
+    # engines': leaf stamps (< count) become global item indices via the
+    # bucket membership matrix; internal stamps (the loop assigns
+    # new = count + row) become fresh ids past n, offset by each bucket's
+    # cumulative base. Vectorized over ALL buckets at once — the previous
+    # per-bucket python loop was ~O(nb) host seconds at the 10M tier.
+    steps_l = steps.astype(np.int64)
+    total_merges = int(steps_l.sum())
+    if total_merges:
+        L = logs.shape[1]
+        base = n + np.concatenate(
+            [[0], np.cumsum(steps_l[:-1])])  # (nb,) per-bucket stamp base
+        row_valid = np.arange(L)[None, :] < steps_l[:, None]  # (nb, L)
+        lcols = logs[:, :, :2].astype(np.int64)  # (nb, L, 2) local stamps
+        c_b = counts.astype(np.int64)[:, None, None]
+        mapped = np.where(
+            lcols < c_b,
+            bucket_idx[np.arange(nb)[:, None, None],
+                       np.clip(lcols, 0, bucket_size - 1)],
+            base[:, None, None] + (lcols - c_b),
+        )
+        new_col = base[:, None] + np.arange(L, dtype=np.int64)[None, :]
+        stamped = np.concatenate([mapped, new_col[:, :, None]], axis=2)
+        merges_arr = stamped[row_valid].astype(np.int32)
+    else:
+        merges_arr = np.zeros((0, 3), np.int32)
 
     # Member expansion: the native runtime's linked-list pass when present,
     # then a fully VECTORIZED columnar filter (the per-cluster python loop
@@ -971,8 +1121,7 @@ def constrained_ward_bucketed(
 
     members_f, offsets_f = cols.finalize()
     return ClusterResult(
-        merges=np.concatenate(all_logs) if all_logs else np.zeros(
-            (0, 3), np.int32),
+        merges=merges_arr,
         n_items=n,
         n_clusters_target=sum(int(t) for t in targets),
         members=members_f,

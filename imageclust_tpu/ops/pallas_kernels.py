@@ -33,7 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["masked_argmin_pair_xla", "merge_update_argmin"]
+__all__ = ["masked_argmin_pair_xla", "merge_update_argmin",
+           "merge_update_argmin_batched"]
 
 _STRIPE = 128
 _BIG_I32 = np.int32(2**31 - 1)
@@ -194,4 +195,156 @@ def merge_update_argmin(D, dvec, sa, do_update, births, sizes, active,
     at = p_d == dmin
     m1 = jnp.min(jnp.where(at, p_hi, _BIG_I32))
     m2 = jnp.min(jnp.where(at & (p_hi == m1), p_lo, _BIG_I32))
+    return D_new, dmin, m1, m2
+
+
+def _merge_step_kernel_batched(params_ref, max_size_ref, amin_ref,
+                               D_ref, dvec_row_ref, dvec_full_ref,
+                               row_births_ref, births_ref,
+                               row_sizes_ref, sizes_ref,
+                               row_active_ref, active_ref,
+                               D_out_ref, dmin_ref, pair_ref):
+    """The batched form of :func:`_merge_step_kernel`: grid axis 0 is the
+    BUCKET (each with its own pending update scalars and state planes),
+    axis 1 the stripe within that bucket's (B, B) matrix. Used by the
+    bucketed engine's lockstep per-chunk merge loop — one read + one
+    aliased write of every bucket matrix per merge iteration, with the
+    absorb phase's under-min feasibility folded in via ``amin`` (<= 0
+    disables it, matching masked_argmin_pair_xla(require_under=None))."""
+    stripe = pl.program_id(1)
+    T = D_ref.shape[1]
+    n = D_ref.shape[2]
+    # per-bucket scalars ride a (1, 128) VMEM plane (TPU pallas cannot
+    # lower size-1 SMEM blocks of a per-bucket array): lane 0 = sa,
+    # lane 1 = do_update
+    p = params_ref[0]
+    sa = p[0, 0]
+    do_update = p[0, 1]
+    max_size = max_size_ref[0]
+    amin = amin_ref[0]
+
+    row0 = stripe * T
+    row_ids = row0 + jax.lax.broadcasted_iota(jnp.int32, (T, n), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (T, n), 1)
+
+    d = D_ref[0]
+    upd_col = jnp.broadcast_to(dvec_row_ref[0].reshape(T, 1), (T, n))
+    upd_row = jnp.broadcast_to(dvec_full_ref[0], (T, n))
+    d_new = jnp.where(col_ids == sa, upd_col, d)
+    d_new = jnp.where(row_ids == sa, upd_row, d_new)
+    d = jnp.where(do_update != 0, d_new, d)
+    D_out_ref[0] = d
+
+    births_r = jnp.broadcast_to(row_births_ref[0].reshape(T, 1), (T, n))
+    births_c = jnp.broadcast_to(births_ref[0], (T, n))
+    sizes_r = jnp.broadcast_to(row_sizes_ref[0].reshape(T, 1), (T, n))
+    sizes_c = jnp.broadcast_to(sizes_ref[0], (T, n))
+    act_r = jnp.broadcast_to(row_active_ref[0].reshape(T, 1), (T, n)) > 0
+    act_c = jnp.broadcast_to(active_ref[0], (T, n)) > 0
+
+    ok = act_r & act_c & (row_ids != col_ids)
+    ok &= (sizes_r + sizes_c) <= max_size
+    # absorb phase: only pairs with an under-min side are feasible
+    ok &= (amin <= 0) | (sizes_r < amin) | (sizes_c < amin)
+    e = jnp.where(ok, d, jnp.inf)
+
+    dmin = jnp.min(e)
+    tie = ok & (e == dmin)
+    bhi = jnp.maximum(births_r, births_c)
+    blo = jnp.minimum(births_r, births_c)
+    m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
+    m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, dmin_ref.shape, 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dmin_ref.shape, 3)
+    dmin_ref[...] = jnp.where((rows == 0) & (cols == 0), dmin,
+                              jnp.inf).astype(jnp.float32)
+    pair_ref[...] = jnp.where(
+        (rows == 0) & (cols == 0), m1,
+        jnp.where((rows == 0) & (cols == 1), m2, _BIG_I32),
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_update_argmin_batched(D, dvec, sa, do_update, births, sizes,
+                                active, max_size, absorb_min,
+                                interpret=False):
+    """Fused merge step over a CHUNK of buckets at once.
+
+    Per bucket c: applies the pending row/column-``sa[c]`` update
+    ``dvec[c]`` to ``D[c]`` in place (aliased) and returns that bucket's
+    next feasible-pair argmin with the Go tie-break. Shapes: D (C, B, B)
+    f32 with B % 128 == 0; dvec (C, B); sa/do_update (C,) i32;
+    births/sizes (C, B) i32; active (C, B) bool; max_size/absorb_min i32
+    scalars (absorb_min <= 0 disables the absorb mask). Returns
+    (D, dmin (C,), bhi (C,), blo (C,))."""
+    C, B, _ = D.shape
+    gs = B // _STRIPE
+    f32 = jnp.float32
+    i32 = jnp.int32
+    dvec3 = dvec.reshape(C, 1, B).astype(f32)
+    births3 = births.reshape(C, 1, B).astype(i32)
+    sizes3 = sizes.reshape(C, 1, B).astype(i32)
+    active3 = active.reshape(C, 1, B).astype(i32)
+    # per-bucket scalars packed into one (C, 1, 128) VMEM plane
+    params = jnp.zeros((C, 1, 128), i32)
+    params = params.at[:, 0, 0].set(jnp.asarray(sa, i32).reshape(C))
+    params = params.at[:, 0, 1].set(jnp.asarray(do_update, i32).reshape(C))
+    ms = jnp.reshape(jnp.asarray(max_size, i32), (1,))
+    am = jnp.reshape(jnp.asarray(absorb_min, i32), (1,))
+
+    params_spec = pl.BlockSpec((1, 1, 128), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    shared_scalar = pl.BlockSpec((1,), lambda b, s: (0,),
+                                 memory_space=pltpu.SMEM)
+    stripe_plane = pl.BlockSpec((1, 1, _STRIPE), lambda b, s: (b, 0, s),
+                                memory_space=pltpu.VMEM)
+    full_plane = pl.BlockSpec((1, 1, B), lambda b, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    D_new, dmins, pairs = pl.pallas_call(
+        _merge_step_kernel_batched,
+        grid=(C, gs),
+        in_specs=[
+            params_spec,        # per-bucket (sa, do)
+            shared_scalar,      # max_size
+            shared_scalar,      # absorb_min
+            pl.BlockSpec((1, _STRIPE, B), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),  # D
+            stripe_plane,       # dvec (row slice)
+            full_plane,         # dvec (full)
+            stripe_plane,       # births (row slice)
+            full_plane,         # births (full)
+            stripe_plane,       # sizes (row slice)
+            full_plane,         # sizes (full)
+            stripe_plane,       # active (row slice)
+            full_plane,         # active (full)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _STRIPE, B), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, s: (b, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, B, B), f32),
+            jax.ShapeDtypeStruct((C, gs, 8, 128), f32),
+            jax.ShapeDtypeStruct((C, gs, 8, 128), i32),
+        ),
+        input_output_aliases={3: 0},  # D updated in place
+        interpret=interpret,
+    )(params, ms, am, D, dvec3, dvec3, births3, births3,
+      sizes3, sizes3, active3, active3)
+
+    # per-bucket lexicographic reduce over stripe partials
+    p_d = dmins[:, :, 0, 0]   # (C, gs)
+    p_hi = pairs[:, :, 0, 0]
+    p_lo = pairs[:, :, 0, 1]
+    dmin = jnp.min(p_d, axis=1)
+    at = p_d == dmin[:, None]
+    m1 = jnp.min(jnp.where(at, p_hi, _BIG_I32), axis=1)
+    m2 = jnp.min(jnp.where(at & (p_hi == m1[:, None]), p_lo, _BIG_I32),
+                 axis=1)
     return D_new, dmin, m1, m2

@@ -106,3 +106,103 @@ class TestFusedMergeLoop:
         assert a.cluster_map == b.cluster_map
         assert a.dropped == b.dropped
         np.testing.assert_array_equal(a.merges, b.merges)
+
+
+class TestMergeUpdateArgminBatched:
+    """The batched (per-bucket) fused step must agree with the XLA
+    reference per bucket, including the absorb-phase feasibility."""
+
+    def test_matches_xla_per_bucket(self, rng):
+        from imageclust_tpu.ops.pallas_kernels import (
+            merge_update_argmin_batched,
+        )
+
+        C, B = 3, 128
+        Ds, bs, ss, acts = [], [], [], []
+        for _ in range(C):
+            d, b, s, a = _random_state(rng, B)
+            Ds.append(d); bs.append(b); ss.append(s); acts.append(a)
+        D = jnp.stack(Ds); births = jnp.stack(bs)
+        sizes = jnp.stack(ss); active = jnp.stack(acts)
+        for amin in (-1, 2):
+            D_out, dmin, m1, m2 = merge_update_argmin_batched(
+                D, jnp.zeros((C, B), jnp.float32), jnp.zeros(C, jnp.int32),
+                jnp.zeros(C, jnp.int32), births, sizes, active,
+                jnp.int32(6), jnp.int32(amin), interpret=True)
+            np.testing.assert_array_equal(np.asarray(D_out), np.asarray(D))
+            for c in range(C):
+                want = masked_argmin_pair_xla(
+                    D[c], births[c], sizes[c], active[c], jnp.int32(6),
+                    require_under=None if amin <= 0 else jnp.int32(amin))
+                assert float(dmin[c]) == float(want[0]) or (
+                    np.isinf(float(dmin[c])) and np.isinf(float(want[0])))
+                if np.isfinite(float(want[0])):
+                    assert int(m1[c]) == int(want[1])
+                    assert int(m2[c]) == int(want[2])
+
+    def test_update_applied_per_bucket(self, rng):
+        from imageclust_tpu.ops.pallas_kernels import (
+            merge_update_argmin_batched,
+        )
+
+        C, B = 2, 128
+        d0, b0, s0, a0 = _random_state(rng, B)
+        d1, b1, s1, a1 = _random_state(rng, B)
+        D = jnp.stack([d0, d1])
+        dvec = jnp.asarray(rng.random((C, B)).astype(np.float32))
+        sa = jnp.asarray([3, 7], jnp.int32)
+        do = jnp.asarray([1, 0], jnp.int32)  # bucket 1: no pending update
+        D_out, *_ = merge_update_argmin_batched(
+            D, dvec, sa, do, jnp.stack([b0, b1]), jnp.stack([s0, s1]),
+            jnp.stack([a0, a1]), jnp.int32(6), jnp.int32(-1),
+            interpret=True)
+        out = np.asarray(D_out)
+        np.testing.assert_array_equal(out[0][3, :], np.asarray(dvec)[0])
+        np.testing.assert_array_equal(out[0][:, 3], np.asarray(dvec)[0])
+        np.testing.assert_array_equal(out[1], np.asarray(d1))  # untouched
+
+
+class TestFusedBucketLoop:
+    """The fused lockstep bucket loop must be result-identical to the
+    vmapped unfused loop — cluster ids, member order, merge logs, drops."""
+
+    @pytest.mark.parametrize("rule", ["lance_williams", "centroid"])
+    def test_fused_equals_unfused(self, rng, monkeypatch, rule):
+        import imageclust_tpu.cluster.sharded as sh
+
+        x = rng.normal(size=(300, 8)).astype(np.float32)
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=128, update_rule=rule)
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "1")
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=128, update_rule=rule)
+        assert got.cluster_map == ref.cluster_map
+        assert got.dropped == ref.dropped
+        np.testing.assert_array_equal(got.merges, ref.merges)
+
+    def test_fused_absorb_no_loss(self, rng, monkeypatch):
+        import imageclust_tpu.cluster.sharded as sh
+
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "1")
+        x = rng.normal(size=(400, 8)).astype(np.float32)
+        res = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=128)
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 400
+        assert len(res.dropped) == 0
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+
+    def test_unaligned_bucket_width_uses_vmapped(self, rng, monkeypatch):
+        # B=64 is not stripe-aligned: the dispatcher must fall back
+        import imageclust_tpu.cluster.sharded as sh
+
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "1")
+        x = rng.normal(size=(300, 8)).astype(np.float32)
+        res = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64)
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64)
+        assert res.cluster_map == ref.cluster_map

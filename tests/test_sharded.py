@@ -180,7 +180,7 @@ class TestAbsorbPhase:
         x = rng.normal(size=(400, 8)).astype(np.float32)
         ref = sh.constrained_ward_bucketed(
             x, min_size=3, max_size=6, bucket_size=16)
-        monkeypatch.setattr(sh, "_BUCKET_CHUNK", 8)
+        monkeypatch.setattr(sh, "_chunk_width", lambda *a: 8)
         got = sh.constrained_ward_bucketed(
             x, min_size=3, max_size=6, bucket_size=16)
         assert ({frozenset(m) for m in got.cluster_map.values()}
