@@ -89,7 +89,7 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int,
     def cluster_all(feats):
         return constrained_ward_bucketed(
             feats, min_size=3, max_size=6, bucket_size=bucket_size,
-            update_rule="lance_williams", feature_dtype=feature_dtype,
+            update_rule="lance_williams",
         )
 
     # One untimed dry pass warms the kmeans + bucket-merge compiles for these

@@ -184,101 +184,175 @@ def _chain_segment(carry, max_size: jax.Array, seg_iters: jax.Array):
 # ---------------------------------------------------------------------------
 # Batched reciprocal-NN rounds: the parallel form of the chain (the default
 # single-device path). The sequential chain advances one link per (n, d)
-# pass; this advances HUNDREDS of merges per pass. Correctness rests on the
-# same reducibility argument as the chain itself (module docstring): merging
-# any set of MUTUAL nearest-neighbor pairs, in any order, yields the same
-# dendrogram as the greedy global-argmin loop wherever merge distances are
-# distinct — and mutual-NN pairs are automatically disjoint (a shared
-# member would need two distinct equidistant nearest neighbors, i.e. a tie).
-# maxSize poisoning again preserves reducibility because infeasibility is
-# monotone. Each round: (1) every active unblocked cluster finds its nearest
-# feasible partner — blocked all-pairs distances on the MXU, O(m^2 d) FLOPs
-# but only O(block * m) memory; (2) all reciprocal pairs merge at once;
-# (3) clusters with no feasible partner retire permanently. ~tens of rounds
-# replace ~3n sequential steps (measured: 100k x 1000 in ~11 s vs 354 s).
+# pass; this advances THOUSANDS of merges per pass. Correctness rests on
+# the same reducibility argument as the chain itself (module docstring):
+# merging any set of MUTUAL nearest-neighbor pairs, in any order, yields
+# the same dendrogram as the greedy global-argmin loop wherever merge
+# distances are distinct — and mutual-NN pairs are automatically disjoint
+# (a shared member would need two distinct equidistant nearest neighbors,
+# i.e. a tie). maxSize poisoning again preserves reducibility because
+# infeasibility is monotone.
+#
+# The nearest-neighbor state is CACHED across rounds with exact
+# invalidation (the measured v1 recomputed every row's NN every round:
+# 59 full (m, m, d) passes = 57 of 64 s at 100k x 1000). d(i, j) for
+# untouched i, j never changes and sizes only grow, so after a round
+# merges p pairs the cache is repaired exactly by:
+#   * full recompute for rows whose cached partner was CONSUMED (their
+#     cached value may be stale-small) and for the p new clusters
+#     (~3p rows: the NN graph has average in-degree 1),
+#   * a cheap (n, p) update pass minimizing every other row against the
+#     p new clusters (the only candidates that can have gotten closer).
+# Per round that is O((4p) * n * d) instead of O(m^2 d); rows with no
+# remaining feasible partner surface as +inf on recompute and retire
+# permanently at the next apply.
 # ---------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnames=("block",))
-def _nn_compact(cents_c, sizes_c, valid_c, max_size, block):
-    """Nearest feasible neighbor for every row of the COMPACT (m_pad, d)
-    active-cluster matrix. Distances via the Gram expansion on the MXU
-    (HIGHEST precision: f32-accurate, so near-tie ordering matches the
-    direct diff-square-sum within ulps); (block, m_pad) tiles keep memory
-    O(block * m) — the full matrix never materializes."""
-    m_pad, d = cents_c.shape
+def _nn_rows(cents, sizes, unblocked, r_idx, r_valid, max_size, nn, nnd,
+             block):
+    """Full nearest-feasible-partner recompute for the rows listed in
+    ``r_idx`` (padded; ``r_valid`` masks real entries), scanning ALL
+    columns in (r_pad, block) tiles. Distances via the Gram expansion on
+    the MXU (HIGHEST precision: f32-accurate so near-tie ordering matches
+    the direct diff-square-sum within ulps). Column blocks ascend, and a
+    later equal distance never replaces an earlier one — global
+    first-index argmin semantics. Results scatter into the (n_pad,)
+    nn/nnd cache."""
+    n_pad, d = cents.shape
     f32 = jnp.float32
     i32 = jnp.int32
-    norms = jnp.sum(cents_c * cents_c, axis=1)
-    sz_f = sizes_c.astype(f32)
-    idx = jnp.arange(m_pad, dtype=i32)
-    n_blocks = m_pad // block
+    rows = cents[r_idx]
+    rsz = sizes[r_idx]
+    rnorm = jnp.sum(rows.astype(f32) * rows.astype(f32), axis=1)
+    rs_f = rsz.astype(f32)
+    n_blocks = n_pad // block
+
+    def blk(carry, ci):
+        bd, bn = carry
+        c0 = ci * block
+        cblock = jax.lax.dynamic_slice_in_dim(cents, c0, block, 0)
+        csz = jax.lax.dynamic_slice_in_dim(sizes, c0, block, 0)
+        cunb = jax.lax.dynamic_slice_in_dim(unblocked, c0, block, 0)
+        cnorm = jnp.sum(cblock.astype(f32) * cblock.astype(f32), axis=1)
+        g = jax.lax.dot_general(
+            rows, cblock, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=f32,
+        )
+        d2 = jnp.maximum(rnorm[:, None] + cnorm[None, :] - 2.0 * g, 0.0)
+        cs_f = csz.astype(f32)
+        w = (rs_f[:, None] * cs_f[None, :]
+             / (rs_f[:, None] + cs_f[None, :])) * d2
+        gidx = c0 + jnp.arange(block, dtype=i32)
+        feas = (cunb[None, :] & r_valid[:, None]
+                & (r_idx[:, None] != gidx[None, :])
+                & ((rsz[:, None] + csz[None, :]) <= max_size))
+        E = jnp.where(feas, w, jnp.inf)
+        cbd = jnp.min(E, axis=1)
+        cbn = gidx[jnp.argmin(E, axis=1)]
+        better = (cbd < bd) | ((cbd == bd) & (cbn < bn))
+        return (jnp.where(better, cbd, bd),
+                jnp.where(better, cbn, bn)), None
+
+    carry = (jnp.full(r_idx.shape[0], jnp.inf, f32),
+             jnp.full(r_idx.shape[0], _BIG_I32, i32))
+    (bd, bn), _ = jax.lax.scan(
+        blk, carry, jnp.arange(n_blocks, dtype=i32))
+    tgt = jnp.where(r_valid, r_idx, n_pad)
+    nn = nn.at[tgt].set(bn, mode="drop")
+    nnd = nnd.at[tgt].set(bd, mode="drop")
+    return nn, nnd
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _nn_update(cents, sizes, unblocked, new_idx, new_valid, max_size, nn,
+               nnd, block):
+    """Cache update pass: minimize every row's cached partner against the
+    round's NEW clusters only — an (n_pad, p_pad) tile sweep. ``new_idx``
+    ascends, so within-tile first-position argmin is smallest-global-index;
+    a new distance replaces the cache only if strictly smaller (or equal
+    with a smaller index — deterministic on ties, which are outside the
+    equivalence guarantee anyway)."""
+    n_pad, d = cents.shape
+    f32 = jnp.float32
+    i32 = jnp.int32
+    newc = cents[new_idx]
+    newsz = sizes[new_idx]
+    nnorm = jnp.sum(newc.astype(f32) * newc.astype(f32), axis=1)
+    ns_f = newsz.astype(f32)
+    n_blocks = n_pad // block
 
     def blk(carry, bi):
         nn, nnd = carry
         r0 = bi * block
-        rows = jax.lax.dynamic_slice_in_dim(cents_c, r0, block, 0)
-        rnorm = jax.lax.dynamic_slice_in_dim(norms, r0, block, 0)
-        rsz = jax.lax.dynamic_slice_in_dim(sizes_c, r0, block, 0)
-        rval = jax.lax.dynamic_slice_in_dim(valid_c, r0, block, 0)
+        rows = jax.lax.dynamic_slice_in_dim(cents, r0, block, 0)
+        rsz = jax.lax.dynamic_slice_in_dim(sizes, r0, block, 0)
+        runb = jax.lax.dynamic_slice_in_dim(unblocked, r0, block, 0)
+        rnn = jax.lax.dynamic_slice_in_dim(nn, r0, block, 0)
+        rnnd = jax.lax.dynamic_slice_in_dim(nnd, r0, block, 0)
+        rnorm = jnp.sum(rows.astype(f32) * rows.astype(f32), axis=1)
         g = jax.lax.dot_general(
-            rows, cents_c, dimension_numbers=(((1,), (1,)), ((), ())),
+            rows, newc, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=f32,
-        )  # (block, m_pad)
-        d2 = jnp.maximum(rnorm[:, None] + norms[None, :] - 2.0 * g, 0.0)
+        )
+        d2 = jnp.maximum(rnorm[:, None] + nnorm[None, :] - 2.0 * g, 0.0)
         rs_f = rsz.astype(f32)
-        w = (rs_f[:, None] * sz_f[None, :]
-             / (rs_f[:, None] + sz_f[None, :])) * d2
-        gid = r0 + jnp.arange(block, dtype=i32)
-        feas = (valid_c[None, :] & rval[:, None]
-                & (gid[:, None] != idx[None, :])
-                & ((rsz[:, None] + sizes_c[None, :]) <= max_size))
+        w = (rs_f[:, None] * ns_f[None, :]
+             / (rs_f[:, None] + ns_f[None, :])) * d2
+        gidx = r0 + jnp.arange(block, dtype=i32)
+        feas = (new_valid[None, :] & runb[:, None]
+                & (gidx[:, None] != new_idx[None, :])
+                & ((rsz[:, None] + newsz[None, :]) <= max_size))
         E = jnp.where(feas, w, jnp.inf)
+        bd = jnp.min(E, axis=1)
+        bn = new_idx[jnp.argmin(E, axis=1)]
+        better = (bd < rnnd) | ((bd == rnnd) & (bn < rnn))
         nn = jax.lax.dynamic_update_slice_in_dim(
-            nn, jnp.argmin(E, axis=1).astype(i32), r0, 0)
+            nn, jnp.where(better, bn, rnn), r0, 0)
         nnd = jax.lax.dynamic_update_slice_in_dim(
-            nnd, jnp.min(E, axis=1), r0, 0)
+            nnd, jnp.where(better, bd, rnnd), r0, 0)
         return (nn, nnd), None
 
-    carry = (jnp.zeros(m_pad, i32), jnp.full(m_pad, jnp.inf, f32))
     (nn, nnd), _ = jax.lax.scan(
-        blk, carry, jnp.arange(n_blocks, dtype=i32))
+        blk, (nn, nnd), jnp.arange(n_blocks, dtype=i32))
     return nn, nnd
 
 
-@jax.jit
-def _apply_merges(cents, sizes, births, active, blocked, log, heights,
-                  step, counter, idx, valid_c, nn, nnd):
-    """Merge every reciprocal-NN pair of this round at once; retire rows
-    with no feasible partner. All updates are scatters into the GLOBAL
-    (n_pad) state; merge log/height entries are written at
-    step + rank(pair), with counter stamps in ascending compact-index
-    order. Falls back to merging the single global-min pair if ties leave
-    a round with feasible pairs but no reciprocal pair (progress
-    guarantee; cannot happen on the tie-free domain)."""
+def _compact_mask(mask, cap: int):
+    """First-``cap`` set rows of a boolean mask as a fixed-shape index
+    list (ascending; overflow rows stay set for a later call). Returns
+    (idx (cap,), valid (cap,), processed-mask)."""
+    n_pad = mask.shape[0]
+    i32 = jnp.int32
+    ar = jnp.arange(n_pad, dtype=i32)
+    ordr = jnp.cumsum(mask.astype(i32)) - 1
+    slot = jnp.where(mask & (ordr < cap), ordr, cap)
+    buf = jnp.full(cap + 1, n_pad, i32).at[slot].set(ar)[:cap]
+    valid = buf < n_pad
+    falsev = jnp.zeros(n_pad + 1, bool)
+    processed = falsev.at[jnp.where(valid, buf, n_pad)].set(True)[:n_pad]
+    return jnp.minimum(buf, n_pad - 1), valid, processed
+
+
+def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
+                 step, counter, nn, pair_idx, pair_valid):
+    """Apply one round's merges in COMPACT (p_cap) space — gathers,
+    centroid math, and height recompute touch only the merging rows.
+    ``pair_idx`` lists pair-head rows ascending; counter stamps follow
+    that order. Returns the updated state plus the masks the cache repair
+    needs: the new unblocked set, the recompute set (new clusters + rows
+    whose cached partner was consumed — their cached value may be
+    stale-small), and the new-cluster mask for the update pass."""
     n_pad = cents.shape[0]
-    m_pad = idx.shape[0]
+    p_pad = pair_idx.shape[0]
     i32 = jnp.int32
     f32 = jnp.float32
-    ar = jnp.arange(m_pad, dtype=i32)
 
-    finite = jnp.isfinite(nnd) & valid_c
-    newly_blocked = valid_c & ~finite
-    blocked = blocked.at[jnp.where(newly_blocked, idx, n_pad)].set(
-        True, mode="drop")
-
-    mutual = finite & (jnp.take(nn, nn) == ar) & (ar < nn)
-    any_mutual = jnp.any(mutual)
-    any_finite = jnp.any(finite)
-    i_star = jnp.argmin(jnp.where(finite, nnd, jnp.inf)).astype(i32)
-    mutual = jnp.where(~any_mutual & any_finite, ar == i_star, mutual)
-
-    rank = jnp.cumsum(mutual.astype(i32)) - 1
-    p = jnp.sum(mutual.astype(i32))
-
-    ga = idx
-    gb = jnp.take(idx, nn)
+    ga = pair_idx
+    gb = jnp.take(nn, ga)
     keep = jnp.minimum(ga, gb)
     dropg = jnp.maximum(ga, gb)
     sa = jnp.take(sizes, ga)
@@ -287,78 +361,211 @@ def _apply_merges(cents, sizes, births, active, blocked, log, heights,
     ca = jnp.take(cents, ga, axis=0)
     cb = jnp.take(cents, gb, axis=0)
     c_new = (sa.astype(f32)[:, None] * ca + sb.astype(f32)[:, None] * cb) \
-        / s_new.astype(f32)[:, None]
+        / jnp.maximum(s_new, 1).astype(f32)[:, None]
     # logged height recomputed by direct diff-square-sum — the same
     # rounding path as the sequential chain segment
     dvec = ca - cb
     d2 = jnp.sum(dvec * dvec, axis=1)
-    h = (sa.astype(f32) * sb.astype(f32) / s_new.astype(f32)) * d2
+    h = (sa.astype(f32) * sb.astype(f32)
+         / jnp.maximum(s_new, 1).astype(f32)) * d2
     ba = jnp.take(births, ga)
     bb = jnp.take(births, gb)
     bhi = jnp.maximum(ba, bb)
     blo = jnp.minimum(ba, bb)
+    rank = jnp.cumsum(pair_valid.astype(i32)) - 1
     ctr = counter + rank
 
-    keep_t = jnp.where(mutual, keep, n_pad)
-    drop_t = jnp.where(mutual, dropg, n_pad)
+    keep_t = jnp.where(pair_valid, keep, n_pad)
+    drop_t = jnp.where(pair_valid, dropg, n_pad)
     cents = cents.at[keep_t].set(c_new, mode="drop")
     sizes = sizes.at[keep_t].set(s_new, mode="drop").at[drop_t].set(
         0, mode="drop")
     births = births.at[keep_t].set(ctr, mode="drop")
     active = active.at[drop_t].set(False, mode="drop")
-    pos = jnp.where(mutual, step + rank, n_pad)
+    pos = jnp.where(pair_valid, step + rank, n_pad)
     log = log.at[pos].set(jnp.stack([bhi, blo, ctr], axis=1), mode="drop")
     heights = heights.at[pos].set(h, mode="drop")
+
+    p = jnp.sum(pair_valid.astype(i32))
     unblocked = active & ~blocked
+    falsev = jnp.zeros(n_pad + 1, bool)
+    changed = falsev.at[keep_t].set(True).at[drop_t].set(True)[:n_pad]
+    is_keep = falsev.at[keep_t].set(True)[:n_pad]
+    # stale detection uses the PRE-update cache: a consumed partner means
+    # the cached value may be smaller than any live distance
+    recompute = unblocked & (jnp.take(changed, nn) | is_keep)
     return (cents, sizes, births, active, blocked, log, heights,
-            step + p, counter + p, p, unblocked)
+            step + p, counter + p, unblocked, recompute, is_keep, p)
+
+
+@partial(jax.jit,
+         static_argnames=("r_cap", "p_cap", "blk_r", "blk_u", "seg_rounds"),
+         donate_argnums=(0,))
+def _rnn_segment(state, max_size, r_cap, p_cap, blk_r, blk_u, seg_rounds):
+    """Up to ``seg_rounds`` rounds in ONE device program — the host never
+    uploads index lists or pulls per-round masks (through a remote
+    transport every such exchange costs a full round trip; the v2 loop
+    spent more time on ~8 exchanges/round than on compute, and one
+    program per round still paid ~half the wall in round dispatch).
+    Fixed shapes via caps; each round:
+
+    * while any rows are PENDING recompute, process the first ``r_cap``
+      of them with a full-column scan and clear them (overflow waits for
+      the next round);
+    * otherwise select reciprocal pairs from the (now fully valid) cache,
+      merge the first ``p_cap`` (deferring mutual pairs is exact — any
+      subset of reciprocal pairs may merge), retire partnerless rows,
+      minimize the cache against the new clusters, and mark the
+      invalidated rows pending.
+
+    The loop stops on a DONE flag: fewer than 2 unblocked clusters, or a
+    merge round (nothing pending) that merged nothing — the fallback
+    always merges a feasible pair, so that means every row retired. The
+    carry is donated: the (n, d) centroid matrix updates in place across
+    segments. One scalar pull (the done flag) per segment."""
+    i32 = jnp.int32
+
+    def round_fn(st):
+        (cents, sizes, births, active, blocked, log, heights, step,
+         counter, pending, nn, nnd, done, it) = st
+        unb = active & ~blocked
+        r_count = jnp.sum(pending.astype(i32))
+
+        def recompute_branch(args):
+            (cents, sizes, births, active, blocked, log, heights, step,
+             counter, pending, nn, nnd) = args
+            r_idx, r_val, processed = _compact_mask(pending, r_cap)
+            nn, nnd = _nn_rows(cents, sizes, unb, r_idx, r_val, max_size,
+                               nn, nnd, blk_r)
+            return (cents, sizes, births, active, blocked, log, heights,
+                    step, counter, pending & ~processed, nn, nnd,
+                    jnp.int32(1))
+
+        def merge_branch(args):
+            (cents, sizes, births, active, blocked, log, heights, step,
+             counter, pending, nn, nnd) = args
+            n_pad = nn.shape[0]
+            ar = jnp.arange(n_pad, dtype=i32)
+            finite = jnp.isfinite(nnd) & unb
+            blocked = blocked | (unb & ~finite)
+            mutual = finite & (jnp.take(nn, nn) == ar) & (ar < nn)
+            any_mutual = jnp.any(mutual)
+            any_finite = jnp.any(finite)
+            i_star = jnp.argmin(jnp.where(finite, nnd, jnp.inf)).astype(i32)
+            mutual = jnp.where(~any_mutual & any_finite, ar == i_star,
+                               mutual)
+            p_idx, p_val, _ = _compact_mask(mutual, p_cap)
+            (cents, sizes, births, active, blocked, log, heights, step,
+             counter, unb2, recompute, is_keep, p) = _apply_pairs(
+                cents, sizes, births, active, blocked, log, heights, step,
+                counter, nn, p_idx, p_val)
+            q_idx, q_val, _ = _compact_mask(is_keep, p_cap)
+            nn, nnd = _nn_update(cents, sizes, unb2, q_idx, q_val, max_size,
+                                 nn, nnd, blk_u)
+            return (cents, sizes, births, active, blocked, log, heights,
+                    step, counter, recompute, nn, nnd, p)
+
+        args = (cents, sizes, births, active, blocked, log, heights, step,
+                counter, pending, nn, nnd)
+        out = jax.lax.cond(r_count > 0, recompute_branch, merge_branch,
+                           args)
+        (cents, sizes, births, active, blocked, log, heights, step,
+         counter, pending, nn, nnd, merged) = out
+        alive = jnp.sum((active & ~blocked).astype(i32))
+        done = (alive < 2) | ((r_count == 0) & (merged == 0))
+        return (cents, sizes, births, active, blocked, log, heights, step,
+                counter, pending, nn, nnd, done, it + 1)
+
+    def cond(st):
+        return ~st[12] & (st[13] < seg_rounds)
+
+    out = jax.lax.while_loop(
+        cond, round_fn, (*state, jnp.bool_(False), jnp.int32(0)))
+    return out[:12], out[12]
+
+
+# per-call row caps: big enough that a typical round's invalidation set
+# (~4x the merged pairs) fits in one call, small enough that the padded
+# recompute pass stays cheap
+_R_CAP = 8192
+_P_CAP = 4096
 
 
 def _rnn_loop(x_pad: jax.Array, n_items: int, max_size: int):
-    """Run reciprocal-NN rounds to exhaustion. Returns (log, heights,
-    steps) in the same format as :func:`_chain_loop` — the host cut is
-    shared."""
-    n_pad, d = x_pad.shape
+    """Run reciprocal-NN rounds to exhaustion with the cached-NN repair
+    scheme, segmented into multi-round device programs
+    (:func:`_rnn_segment`). Returns (log, heights, steps) in the same
+    format as :func:`_chain_loop` — the host cut is shared."""
+    n_pad0, d = x_pad.shape
+    # Column scans tile at a FIXED good block and the state is re-padded to
+    # a multiple of it. (The first cut derived the block from n_pad's
+    # factorization — a 128-aligned n like 100096 = 2^8 * 391 forced
+    # 256-wide blocks, i.e. 391 tiny matmuls per pass, and measured 28 s
+    # where the arithmetic floor is ~2 s.) 2048 columns x 1000 features is
+    # deep into the MXU-efficient regime; padding waste is < 2%.
+    blk = min(2048, n_pad0)  # n_pad0 is 128-aligned, so small n = 1 block
+    n_pad = ((n_pad0 + blk - 1) // blk) * blk
+    if n_pad != n_pad0:
+        x_pad = jnp.concatenate(
+            [x_pad, jnp.zeros((n_pad - n_pad0, d), x_pad.dtype)])
+    # Zero-pad FEATURE COLUMNS to a lane multiple: bit-exact for every
+    # distance (an all-zero column contributes exactly 0.0 to both norms
+    # and dot products, and stays zero through centroid averaging) and
+    # measured 1.9x on the HIGHEST-precision matmuls that dominate this
+    # engine — d=1000 runs 13.7 TF/s, d=1024 runs 26.5, and any multiple
+    # of 128 (1152, 1280) hits the same fast path.
+    d_pad = ((d + 127) // 128) * 128
+    if d_pad != d:
+        x_pad = jnp.concatenate(
+            [x_pad, jnp.zeros((n_pad, d_pad - d), x_pad.dtype)], axis=1)
     i32 = jnp.int32
+    f32 = jnp.float32
     idx0 = jnp.arange(n_pad, dtype=i32)
     active = idx0 < n_items
-    cents = x_pad.astype(jnp.float32)
-    sizes = active.astype(i32)
-    births = jnp.where(active, idx0, _BIG_I32 - n_pad + idx0)
-    blocked = ~active
-    log = jnp.zeros((n_pad, 3), i32)
-    heights = jnp.zeros((n_pad,), jnp.float32)
-    step = jnp.int32(0)
-    counter = jnp.int32(n_items)
+    state = (
+        # fresh buffer, never a view of the caller's features: the segment
+        # DONATES the carry, and astype(f32) on an f32 input is a no-op
+        # alias — donating that would delete the array the spill pass (and
+        # possibly the caller) still needs
+        jnp.array(x_pad, dtype=f32, copy=True),            # cents
+        active.astype(i32),                                # sizes
+        jnp.where(active, idx0, _BIG_I32 - n_pad + idx0),  # births
+        active,                                            # active
+        ~active,                                           # blocked
+        jnp.zeros((n_pad, 3), i32),                        # log
+        jnp.zeros((n_pad,), f32),                          # heights
+        jnp.int32(0),                                      # step
+        jnp.int32(n_items),                                # counter
+        jnp.array(active, copy=True),  # pending (all; distinct buffer —
+                                       # the same array twice in a donated
+                                       # carry is an XLA error
+        jnp.zeros(n_pad, i32),                             # nn
+        jnp.full(n_pad, jnp.inf, f32),                     # nnd
+    )
     ms = jnp.int32(max_size)
-    mask = np.asarray(active)
-    for _ in range(2 * n_items + 4):
-        ids = np.flatnonzero(mask)
-        m = len(ids)
-        if m < 2:
+    r_cap = min(_R_CAP, n_pad)
+    p_cap = min(_P_CAP, n_pad)
+    blk_r = blk_u = blk
+    # rounds bound: every round either clears >= min(r_cap, pending)
+    # pending rows or merges/blocks >= 1 cluster
+    max_rounds = 4 * n_items + 2 * (n_items // r_cap + 2) + 8
+    # segment length: ~10 s of device time per program (a multi-minute
+    # program trips the TPU worker watchdog; too-short segments pay a
+    # host round trip per round). Worst-case round cost is the bigger of
+    # the recompute and update matmul passes.
+    flops_round = max(r_cap, p_cap) * n_pad * d_pad * 2
+    seg_rounds = int(max(8, min(4096, 10.0 / (flops_round / 5e13 + 1e-3))))
+    max_segments = max_rounds // seg_rounds + 2
+    for _ in range(max_segments):
+        state, done = _rnn_segment(
+            tuple(state), ms, r_cap=r_cap, p_cap=p_cap, blk_r=blk_r,
+            blk_u=blk_u, seg_rounds=seg_rounds)
+        if bool(np.asarray(done)):  # one scalar pull per segment
             break
-        m_pad = max(8, 1 << (m - 1).bit_length())
-        idxp = np.full(m_pad, n_pad - 1, np.int32)
-        idxp[:m] = ids
-        validp = np.zeros(m_pad, bool)
-        validp[:m] = True
-        idx_d = jnp.asarray(idxp)
-        cents_c = jnp.take(cents, idx_d, axis=0)
-        sizes_c = jnp.take(sizes, idx_d)
-        # (block, m_pad) distance tile capped at ~512 MB
-        block = min(m_pad, max(128, 1 << max(
-            7, ((1 << 29) // (4 * m_pad)).bit_length() - 1)))
-        nn, nnd = _nn_compact(cents_c, sizes_c, jnp.asarray(validp), ms,
-                              block)
-        (cents, sizes, births, active, blocked, log, heights, step,
-         counter, _, unblocked) = _apply_merges(
-            cents, sizes, births, active, blocked, log, heights, step,
-            counter, idx_d, jnp.asarray(validp), nn, nnd)
-        mask = np.asarray(unblocked)
     else:  # pragma: no cover — every round merges >= 1 or blocks the rest
         raise RuntimeError(
             f"reciprocal-NN rounds did not converge (n={n_items})")
-    return log, heights, step
+    return state[5], state[6], state[7]
 
 
 _MESH_CHAIN_SEGMENTS: dict = {}
