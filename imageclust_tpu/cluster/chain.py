@@ -337,17 +337,18 @@ def _compact_mask(mask, cap: int):
     return jnp.minimum(buf, n_pad - 1), valid, processed
 
 
-def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
-                 step, counter, nn, pair_idx, pair_valid):
-    """Apply one round's merges in COMPACT (p_cap) space — gathers,
-    centroid math, and height recompute touch only the merging rows.
-    ``pair_idx`` lists pair-head rows ascending; counter stamps follow
-    that order. Returns the updated state plus the masks the cache repair
-    needs: the new unblocked set, the recompute set (new clusters + rows
-    whose cached partner was consumed — their cached value may be
+def _apply_pairs_core(sizes, births, active, blocked, log, heights,
+                      step, counter, nn, pair_idx, pair_valid, ca, cb):
+    """Replicated portion of one round's merge application — everything
+    except reading/writing centroid rows. The caller supplies the merging
+    rows' centroids ``ca``/``cb`` (a direct gather single-device; a psum
+    gather on the mesh) and scatters the returned ``c_new`` at ``keep_t``
+    (drop-masked) itself. ``pair_idx`` lists pair-head rows ascending;
+    counter stamps follow that order. Also returns the masks the cache
+    repair needs: the new unblocked set, the recompute set (new clusters
+    + rows whose cached partner was consumed — their cached value may be
     stale-small), and the new-cluster mask for the update pass."""
-    n_pad = cents.shape[0]
-    p_pad = pair_idx.shape[0]
+    n_pad = sizes.shape[0]
     i32 = jnp.int32
     f32 = jnp.float32
 
@@ -358,8 +359,6 @@ def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
     sa = jnp.take(sizes, ga)
     sb = jnp.take(sizes, gb)
     s_new = sa + sb
-    ca = jnp.take(cents, ga, axis=0)
-    cb = jnp.take(cents, gb, axis=0)
     c_new = (sa.astype(f32)[:, None] * ca + sb.astype(f32)[:, None] * cb) \
         / jnp.maximum(s_new, 1).astype(f32)[:, None]
     # logged height recomputed by direct diff-square-sum — the same
@@ -377,7 +376,6 @@ def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
 
     keep_t = jnp.where(pair_valid, keep, n_pad)
     drop_t = jnp.where(pair_valid, dropg, n_pad)
-    cents = cents.at[keep_t].set(c_new, mode="drop")
     sizes = sizes.at[keep_t].set(s_new, mode="drop").at[drop_t].set(
         0, mode="drop")
     births = births.at[keep_t].set(ctr, mode="drop")
@@ -394,8 +392,23 @@ def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
     # stale detection uses the PRE-update cache: a consumed partner means
     # the cached value may be smaller than any live distance
     recompute = unblocked & (jnp.take(changed, nn) | is_keep)
-    return (cents, sizes, births, active, blocked, log, heights,
+    return (c_new, keep_t, sizes, births, active, log, heights,
             step + p, counter + p, unblocked, recompute, is_keep, p)
+
+
+def _apply_pairs(cents, sizes, births, active, blocked, log, heights,
+                 step, counter, nn, pair_idx, pair_valid):
+    """Single-device merge application: gather the merging rows' centroids,
+    run the replicated core, scatter the merged centroids back."""
+    ca = jnp.take(cents, pair_idx, axis=0)
+    cb = jnp.take(cents, jnp.take(nn, pair_idx), axis=0)
+    (c_new, keep_t, sizes, births, active, log, heights, step, counter,
+     unblocked, recompute, is_keep, p) = _apply_pairs_core(
+        sizes, births, active, blocked, log, heights, step, counter, nn,
+        pair_idx, pair_valid, ca, cb)
+    cents = cents.at[keep_t].set(c_new, mode="drop")
+    return (cents, sizes, births, active, blocked, log, heights,
+            step, counter, unblocked, recompute, is_keep, p)
 
 
 @partial(jax.jit,
@@ -491,43 +504,53 @@ _R_CAP = 8192
 _P_CAP = 4096
 
 
-def _rnn_loop(x_pad: jax.Array, n_items: int, max_size: int):
+def _pad_features(x: jax.Array, n_pad: int, d_pad: int) -> jax.Array:
+    """(n, d) features -> fresh f32 (n_pad, d_pad) zero-padded buffer.
+
+    ONE allocation (``jnp.pad``), never a view of the caller's features:
+    the segment loops DONATE their carry, and an aliasing no-op (astype
+    f32 of f32, zero-width pad) would let donation delete the array the
+    spill pass — and possibly the caller — still needs. Padding is done
+    here in a single fused op because chained row-pad + column-pad +
+    defensive-copy materialized 3 transient copies of a 4 GB matrix at
+    n=1M, d=1000 and OOM'd the chip.
+
+    Zero columns are BIT-EXACT for every distance: they contribute
+    exactly 0.0 to norms and dot products and stay zero through centroid
+    averaging. Lane-aligning d measured 1.9x on the HIGHEST-precision
+    matmuls that dominate the engine — d=1000 runs 13.7 TF/s, d=1024
+    26.5, and any multiple of 128 (1152, 1280) hits the same fast path.
+    """
+    n, d = x.shape
+    if n == n_pad and d == d_pad:
+        return jnp.array(x, dtype=jnp.float32, copy=True)
+    return jnp.pad(x.astype(jnp.float32),
+                   ((0, n_pad - n), (0, d_pad - d)))
+
+
+def _rnn_loop(x: jax.Array, n_items: int, max_size: int):
     """Run reciprocal-NN rounds to exhaustion with the cached-NN repair
     scheme, segmented into multi-round device programs
-    (:func:`_rnn_segment`). Returns (log, heights, steps) in the same
-    format as :func:`_chain_loop` — the host cut is shared."""
-    n_pad0, d = x_pad.shape
-    # Column scans tile at a FIXED good block and the state is re-padded to
-    # a multiple of it. (The first cut derived the block from n_pad's
+    (:func:`_rnn_segment`). ``x`` is the UNPADDED (n, d) feature matrix;
+    all padding happens here in one op. Returns (log, heights, steps) in
+    the same format as :func:`_chain_loop` — the host cut is shared."""
+    _, d = x.shape
+    n_pad0 = _pad_len(n_items)
+    # Column scans tile at a FIXED good block and the state pads to a
+    # multiple of it. (The first cut derived the block from n_pad's
     # factorization — a 128-aligned n like 100096 = 2^8 * 391 forced
     # 256-wide blocks, i.e. 391 tiny matmuls per pass, and measured 28 s
     # where the arithmetic floor is ~2 s.) 2048 columns x 1000 features is
     # deep into the MXU-efficient regime; padding waste is < 2%.
     blk = min(2048, n_pad0)  # n_pad0 is 128-aligned, so small n = 1 block
     n_pad = ((n_pad0 + blk - 1) // blk) * blk
-    if n_pad != n_pad0:
-        x_pad = jnp.concatenate(
-            [x_pad, jnp.zeros((n_pad - n_pad0, d), x_pad.dtype)])
-    # Zero-pad FEATURE COLUMNS to a lane multiple: bit-exact for every
-    # distance (an all-zero column contributes exactly 0.0 to both norms
-    # and dot products, and stays zero through centroid averaging) and
-    # measured 1.9x on the HIGHEST-precision matmuls that dominate this
-    # engine — d=1000 runs 13.7 TF/s, d=1024 runs 26.5, and any multiple
-    # of 128 (1152, 1280) hits the same fast path.
     d_pad = ((d + 127) // 128) * 128
-    if d_pad != d:
-        x_pad = jnp.concatenate(
-            [x_pad, jnp.zeros((n_pad, d_pad - d), x_pad.dtype)], axis=1)
     i32 = jnp.int32
     f32 = jnp.float32
     idx0 = jnp.arange(n_pad, dtype=i32)
     active = idx0 < n_items
     state = (
-        # fresh buffer, never a view of the caller's features: the segment
-        # DONATES the carry, and astype(f32) on an f32 input is a no-op
-        # alias — donating that would delete the array the spill pass (and
-        # possibly the caller) still needs
-        jnp.array(x_pad, dtype=f32, copy=True),            # cents
+        _pad_features(x, n_pad, d_pad),                    # cents
         active.astype(i32),                                # sizes
         jnp.where(active, idx0, _BIG_I32 - n_pad + idx0),  # births
         active,                                            # active
@@ -565,6 +588,301 @@ def _rnn_loop(x_pad: jax.Array, n_items: int, max_size: int):
     else:  # pragma: no cover — every round merges >= 1 or blocks the rest
         raise RuntimeError(
             f"reciprocal-NN rounds did not converge (n={n_items})")
+    return state[5], state[6], state[7]
+
+
+# ---------------------------------------------------------------------------
+# Mesh form of the reciprocal-NN rounds: the centroid matrix row-shards
+# over the mesh's 'data' axis; every other state array is replicated (all
+# O(n) bytes — the (n, d) matrix is the only thing worth sharding). The
+# round logic is IDENTICAL to the single-device engine; only the three
+# centroid touches change:
+#   * row gathers (recompute rows, merging pairs, new clusters) become a
+#     psum of owner-contributed rows — exact: one owner row + zeros;
+#   * the recompute pass scans only LOCAL column blocks, and the
+#     per-device (best, index) results combine across devices with the
+#     same (smaller distance, then smaller index) rule the single-device
+#     scan applies across its column blocks — device order IS ascending
+#     global column order, so first-index argmin semantics survive;
+#   * the update pass minimizes only LOCAL rows' cache entries, and the
+#     replicated cache rebuilds with one tiled all_gather.
+# Per-round communication is O(cap * d) bytes (the gathered row blocks),
+# independent of n — it rides ICI while each device streams only its
+# 1/ndev of the matrix: aggregate HBM bandwidth AND aggregate capacity.
+# ---------------------------------------------------------------------------
+
+_MESH_RNN_SEGMENTS: dict = {}
+
+
+def _mesh_rnn_segment(mesh, r_cap: int, p_cap: int, blk: int,
+                      seg_rounds: int):
+    key = (mesh, r_cap, p_cap, blk, seg_rounds)
+    if key in _MESH_RNN_SEGMENTS:
+        return _MESH_RNN_SEGMENTS[key]
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ndev = mesh.shape["data"]
+    f32 = jnp.float32
+    i32 = jnp.int32
+    HI = jax.lax.Precision.HIGHEST
+
+    def seg(carry, max_size):
+        (cents_l, sizes0, births0, active0, blocked0, log0, heights0,
+         step0, counter0, pending0, nn0, nnd0) = carry
+        rows_per, d = cents_l.shape
+        n_pad = rows_per * ndev
+        my = jax.lax.axis_index("data").astype(i32)
+        row0 = my * rows_per
+        gids = row0 + jnp.arange(rows_per, dtype=i32)
+        n_blocks_l = rows_per // blk
+
+        def gather_rows(cents_l, idxs):
+            """cents[idxs] (replicated), exact: psum of owner rows."""
+            li = idxs - row0
+            inb = (li >= 0) & (li < rows_per)
+            safe = jnp.clip(li, 0, rows_per - 1)
+            contrib = jnp.where(inb[:, None], cents_l[safe], 0.0)
+            return jax.lax.psum(contrib, "data")
+
+        def nn_rows(cents_l, sizes, unblocked, r_idx, r_valid, nn, nnd):
+            """Mesh counterpart of :func:`_nn_rows`: local column scan +
+            cross-device (distance, index) combine."""
+            rows = gather_rows(cents_l, jnp.clip(r_idx, 0, n_pad - 1))
+            rsz = jnp.take(sizes, r_idx)
+            rnorm = jnp.sum(rows * rows, axis=1)
+            rs_f = rsz.astype(f32)
+
+            def blk_fn(carry, ci):
+                bd, bn = carry
+                c0 = ci * blk
+                cblock = jax.lax.dynamic_slice_in_dim(cents_l, c0, blk, 0)
+                g0 = row0 + c0
+                csz = jax.lax.dynamic_slice_in_dim(sizes, g0, blk, 0)
+                cunb = jax.lax.dynamic_slice_in_dim(unblocked, g0, blk, 0)
+                cnorm = jnp.sum(cblock * cblock, axis=1)
+                g = jax.lax.dot_general(
+                    rows, cblock,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=HI, preferred_element_type=f32)
+                d2 = jnp.maximum(
+                    rnorm[:, None] + cnorm[None, :] - 2.0 * g, 0.0)
+                cs_f = csz.astype(f32)
+                w = (rs_f[:, None] * cs_f[None, :]
+                     / (rs_f[:, None] + cs_f[None, :])) * d2
+                gidx = g0 + jnp.arange(blk, dtype=i32)
+                feas = (cunb[None, :] & r_valid[:, None]
+                        & (r_idx[:, None] != gidx[None, :])
+                        & ((rsz[:, None] + csz[None, :]) <= max_size))
+                E = jnp.where(feas, w, jnp.inf)
+                cbd = jnp.min(E, axis=1)
+                cbn = gidx[jnp.argmin(E, axis=1)]
+                better = (cbd < bd) | ((cbd == bd) & (cbn < bn))
+                return (jnp.where(better, cbd, bd),
+                        jnp.where(better, cbn, bn)), None
+
+            carry0 = (jnp.full(r_cap, jnp.inf, f32),
+                      jnp.full(r_cap, _BIG_I32, i32))
+            (bd, bn), _ = jax.lax.scan(
+                blk_fn, carry0, jnp.arange(n_blocks_l, dtype=i32))
+            # device order == ascending global column order: global min,
+            # ties to the smallest index among devices achieving it
+            allbd = jax.lax.all_gather(bd, "data")  # (ndev, r_cap)
+            allbn = jax.lax.all_gather(bn, "data")
+            gbd = jnp.min(allbd, axis=0)
+            gbn = jnp.min(
+                jnp.where(allbd == gbd[None, :], allbn, _BIG_I32), axis=0)
+            tgt = jnp.where(r_valid, r_idx, n_pad)
+            nn = nn.at[tgt].set(gbn, mode="drop")
+            nnd = nnd.at[tgt].set(gbd, mode="drop")
+            return nn, nnd
+
+        def nn_update(cents_l, sizes, unblocked, new_idx, new_valid, nn,
+                      nnd):
+            """Mesh counterpart of :func:`_nn_update`: minimize LOCAL rows
+            against the new clusters, then rebuild the replicated cache
+            with a tiled all_gather."""
+            newc = gather_rows(cents_l, jnp.clip(new_idx, 0, n_pad - 1))
+            newsz = jnp.take(sizes, new_idx)
+            nnorm = jnp.sum(newc * newc, axis=1)
+            ns_f = newsz.astype(f32)
+            nn_l0 = jax.lax.dynamic_slice_in_dim(nn, row0, rows_per, 0)
+            nnd_l0 = jax.lax.dynamic_slice_in_dim(nnd, row0, rows_per, 0)
+
+            def blk_fn(carry, bi):
+                nn_l, nnd_l = carry
+                r0 = bi * blk
+                rows = jax.lax.dynamic_slice_in_dim(cents_l, r0, blk, 0)
+                g0 = row0 + r0
+                rsz = jax.lax.dynamic_slice_in_dim(sizes, g0, blk, 0)
+                runb = jax.lax.dynamic_slice_in_dim(unblocked, g0, blk, 0)
+                rnn = jax.lax.dynamic_slice_in_dim(nn_l, r0, blk, 0)
+                rnnd = jax.lax.dynamic_slice_in_dim(nnd_l, r0, blk, 0)
+                rnorm = jnp.sum(rows * rows, axis=1)
+                g = jax.lax.dot_general(
+                    rows, newc,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=HI, preferred_element_type=f32)
+                d2 = jnp.maximum(
+                    rnorm[:, None] + nnorm[None, :] - 2.0 * g, 0.0)
+                rs_f = rsz.astype(f32)
+                w = (rs_f[:, None] * ns_f[None, :]
+                     / (rs_f[:, None] + ns_f[None, :])) * d2
+                gidx = g0 + jnp.arange(blk, dtype=i32)
+                feas = (new_valid[None, :] & runb[:, None]
+                        & (gidx[:, None] != new_idx[None, :])
+                        & ((rsz[:, None] + newsz[None, :]) <= max_size))
+                E = jnp.where(feas, w, jnp.inf)
+                bd = jnp.min(E, axis=1)
+                bn = new_idx[jnp.argmin(E, axis=1)]
+                better = (bd < rnnd) | ((bd == rnnd) & (bn < rnn))
+                nn_l = jax.lax.dynamic_update_slice_in_dim(
+                    nn_l, jnp.where(better, bn, rnn), r0, 0)
+                nnd_l = jax.lax.dynamic_update_slice_in_dim(
+                    nnd_l, jnp.where(better, bd, rnnd), r0, 0)
+                return (nn_l, nnd_l), None
+
+            (nn_l, nnd_l), _ = jax.lax.scan(
+                blk_fn, (nn_l0, nnd_l0), jnp.arange(n_blocks_l, dtype=i32))
+            nn = jax.lax.all_gather(nn_l, "data", tiled=True)
+            nnd = jax.lax.all_gather(nnd_l, "data", tiled=True)
+            return nn, nnd
+
+        def round_fn(st):
+            (cents_l, sizes, births, active, blocked, log, heights, step,
+             counter, pending, nn, nnd, done, it) = st
+            unb = active & ~blocked
+            r_count = jnp.sum(pending.astype(i32))
+
+            def recompute_branch(args):
+                (cents_l, sizes, births, active, blocked, log, heights,
+                 step, counter, pending, nn, nnd) = args
+                r_idx, r_val, processed = _compact_mask(pending, r_cap)
+                nn, nnd = nn_rows(cents_l, sizes, unb, r_idx, r_val, nn,
+                                  nnd)
+                return (cents_l, sizes, births, active, blocked, log,
+                        heights, step, counter, pending & ~processed, nn,
+                        nnd, jnp.int32(1))
+
+            def merge_branch(args):
+                (cents_l, sizes, births, active, blocked, log, heights,
+                 step, counter, pending, nn, nnd) = args
+                ar = jnp.arange(n_pad, dtype=i32)
+                finite = jnp.isfinite(nnd) & unb
+                blocked = blocked | (unb & ~finite)
+                mutual = finite & (jnp.take(nn, nn) == ar) & (ar < nn)
+                any_mutual = jnp.any(mutual)
+                any_finite = jnp.any(finite)
+                i_star = jnp.argmin(
+                    jnp.where(finite, nnd, jnp.inf)).astype(i32)
+                mutual = jnp.where(~any_mutual & any_finite, ar == i_star,
+                                   mutual)
+                p_idx, p_val, _ = _compact_mask(mutual, p_cap)
+                ca = gather_rows(cents_l, jnp.clip(p_idx, 0, n_pad - 1))
+                cb = gather_rows(cents_l, jnp.clip(
+                    jnp.take(nn, p_idx), 0, n_pad - 1))
+                (c_new, keep_t, sizes, births, active, log, heights, step,
+                 counter, unb2, recompute, is_keep, p) = _apply_pairs_core(
+                    sizes, births, active, blocked, log, heights, step,
+                    counter, nn, p_idx, p_val, ca, cb)
+                # owner-local scatter of the merged centroid rows
+                lk = keep_t - row0
+                owned = (lk >= 0) & (lk < rows_per)
+                tgt_l = jnp.where(owned, lk, rows_per)
+                cents_l = cents_l.at[tgt_l].set(c_new, mode="drop")
+                q_idx, q_val, _ = _compact_mask(is_keep, p_cap)
+                nn, nnd = nn_update(cents_l, sizes, unb2, q_idx, q_val,
+                                    nn, nnd)
+                return (cents_l, sizes, births, active, blocked, log,
+                        heights, step, counter, recompute, nn, nnd, p)
+
+            args = (cents_l, sizes, births, active, blocked, log, heights,
+                    step, counter, pending, nn, nnd)
+            out = jax.lax.cond(r_count > 0, recompute_branch, merge_branch,
+                               args)
+            (cents_l, sizes, births, active, blocked, log, heights, step,
+             counter, pending, nn, nnd, merged) = out
+            alive = jnp.sum((active & ~blocked).astype(i32))
+            done = (alive < 2) | ((r_count == 0) & (merged == 0))
+            return (cents_l, sizes, births, active, blocked, log, heights,
+                    step, counter, pending, nn, nnd, done, it + 1)
+
+        def cond(st):
+            return ~st[12] & (st[13] < seg_rounds)
+
+        out = jax.lax.while_loop(
+            cond, round_fn,
+            (cents_l, sizes0, births0, active0, blocked0, log0, heights0,
+             step0, counter0, pending0, nn0, nnd0, jnp.bool_(False),
+             jnp.int32(0)))
+        return out[:12], out[12]
+
+    spec = (P("data", None), *([P()] * 11))
+    fn = shard_map(
+        seg, mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=(spec, P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn, donate_argnums=(0,))
+    _MESH_RNN_SEGMENTS[key] = jitted
+    return jitted
+
+
+def _mesh_rnn_loop(x: jax.Array, n_items: int, max_size: int, mesh):
+    """Run the reciprocal-NN rounds with the centroid matrix row-sharded
+    over the mesh's 'data' axis. ``x`` is the UNPADDED (n, d) feature
+    matrix. Same return contract as :func:`_rnn_loop`; the host cut is
+    shared."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = mesh.shape["data"]
+    _, d = x.shape
+    rows_per = -(-_pad_len(n_items) // ndev)
+    # local column tiles: big for MXU efficiency when rows allow, 128
+    # otherwise; rows_per rounds UP to a tile multiple (<= 2% waste at
+    # the sizes where 2048 applies)
+    blk = 2048 if rows_per >= 2048 else 128
+    rows_per = -(-rows_per // blk) * blk
+    n_pad = rows_per * ndev
+    d_pad = ((d + 127) // 128) * 128
+    i32 = jnp.int32
+    f32 = jnp.float32
+    idx0 = jnp.arange(n_pad, dtype=i32)
+    active = idx0 < n_items
+    state = (
+        _pad_features(x, n_pad, d_pad),                    # cents
+        active.astype(i32),                                # sizes
+        jnp.where(active, idx0, _BIG_I32 - n_pad + idx0),  # births
+        active,                                            # active
+        ~active,                                           # blocked
+        jnp.zeros((n_pad, 3), i32),                        # log
+        jnp.zeros((n_pad,), f32),                          # heights
+        jnp.int32(0),                                      # step
+        jnp.int32(n_items),                                # counter
+        jnp.array(active, copy=True),                      # pending
+        jnp.zeros(n_pad, i32),                             # nn
+        jnp.full(n_pad, jnp.inf, f32),                     # nnd
+    )
+    shardings = (NamedSharding(mesh, P("data", None)),
+                 *([NamedSharding(mesh, P())] * 11))
+    state = jax.device_put(tuple(state), shardings)
+    r_cap = min(_R_CAP, n_pad)
+    p_cap = min(_P_CAP, n_pad)
+    max_rounds = 4 * n_items + 2 * (n_items // r_cap + 2) + 8
+    flops_round = max(r_cap, p_cap) * n_pad * d_pad * 2
+    seg_rounds = int(max(8, min(4096, 10.0 / (flops_round / 5e13 + 1e-3))))
+    segment = _mesh_rnn_segment(mesh, r_cap, p_cap, blk, seg_rounds)
+    ms = jnp.int32(max_size)
+    max_segments = max_rounds // seg_rounds + 2
+    for _ in range(max_segments):
+        state, done = segment(tuple(state), ms)
+        if bool(np.asarray(done)):  # one scalar pull per segment
+            break
+    else:  # pragma: no cover — every round merges >= 1 or blocks the rest
+        raise RuntimeError(
+            f"mesh reciprocal-NN rounds did not converge (n={n_items})")
     return state[5], state[6], state[7]
 
 
@@ -850,24 +1168,30 @@ def constrained_ward_chain(
 
     n_target = calculate_optimal_clusters(n, min_size, max_size)
 
-    n_pad = _pad_len(n)
-    if mesh is not None:
-        ndev = mesh.shape["data"]
-        block = 128 * ndev
-        n_pad = ((n_pad + block - 1) // block) * block
-    if n_pad != n:
-        feats_p = jnp.concatenate(
-            [feats, jnp.zeros((n_pad - n, d), feats.dtype)])
-    else:
-        feats_p = feats
     import os
 
-    if mesh is None and os.environ.get(
-            "IMAGECLUST_CHAIN_IMPL", "rnn") != "seq":
+    if os.environ.get("IMAGECLUST_CHAIN_IMPL", "rnn") != "seq":
         # default: batched reciprocal-NN rounds — same dendrogram on the
-        # tie-free domain, ~tens of device passes instead of ~3n
-        log, heights, steps = _rnn_loop(feats_p, n, max_size)
+        # tie-free domain, ~tens of device passes instead of ~3n; with a
+        # mesh the centroid matrix row-shards over 'data'. The loops pad
+        # internally (one fused op — see _pad_features).
+        if mesh is not None:
+            log, heights, steps = _mesh_rnn_loop(feats, n, max_size, mesh)
+        else:
+            log, heights, steps = _rnn_loop(feats, n, max_size)
     else:
+        # sequential NN-chain (the mesh= variant is the bit-identical
+        # psum/pmin formulation)
+        n_pad = _pad_len(n)
+        if mesh is not None:
+            ndev = mesh.shape["data"]
+            block = 128 * ndev
+            n_pad = ((n_pad + block - 1) // block) * block
+        if n_pad != n:
+            feats_p = jnp.concatenate(
+                [feats, jnp.zeros((n_pad - n, d), feats.dtype)])
+        else:
+            feats_p = feats
         log, heights, steps = _chain_loop(feats_p, n, max_size, mesh=mesh)
     m = int(steps)
     log = np.asarray(log)[:m]

@@ -196,6 +196,20 @@ class TestRobustness:
             assert set(got.dropped) == set(ref.dropped)
             np.testing.assert_array_equal(got.merges, ref.merges)
 
+    def test_mesh_rnn_matches_single_device(self, gauss, mesh8):
+        # the DEFAULT reciprocal-NN path also runs mesh-sharded (centroid
+        # matrix row-sharded over 'data', caches repaired via local scans
+        # + all_gather); partitions must match the single-device engine
+        for n, mn, mx in [(150, 3, 6), (257, 2, 9)]:
+            x = gauss(n)
+            ref = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False)
+            got = constrained_ward_chain(
+                x, min_size=mn, max_size=mx, reassign_dropped=False,
+                mesh=mesh8)
+            assert _partition(got) == _partition(ref)
+            assert set(got.dropped) == set(ref.dropped)
+
     def test_rnn_rounds_match_sequential_chain(self, gauss, monkeypatch):
         # the default batched reciprocal-NN implementation realizes the
         # same dendrogram as the sequential chain on tie-free data — the
