@@ -11,7 +11,11 @@
 FROM node:18-slim AS frontend
 WORKDIR /fe
 COPY frontend/ ./
-RUN npm install && npm run build
+# build/ ships prebuilt in the repo, so a failed npm install (e.g. no
+# registry egress) degrades to the committed static page instead of
+# aborting the image build — vite writes over build/ when it succeeds
+RUN (npm install && npm run build) \
+    || echo "npm unavailable: keeping prebuilt frontend/build"
 
 FROM python:3.12-slim AS build
 RUN apt-get update && apt-get install -y --no-install-recommends \

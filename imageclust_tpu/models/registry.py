@@ -79,11 +79,15 @@ class Embedder:
         mesh: Mesh | None = None,
         tag: str = "",
         raw_apply_fn: Callable[[dict, jax.Array], jax.Array] | None = None,
+        weights_loaded: bool = False,
     ):
         self.spec = spec
         self.batch_size = batch_size
         self.mesh = mesh
         self.tag = tag or spec.name  # identity for the embedding cache
+        # provenance: True iff real weights (ONNX/ckpt) were ingested —
+        # verify gates must not certify random init (review finding)
+        self.weights_loaded = weights_loaded
         self._apply_fn = apply_fn
         # fast path taking RAW uint8 NHWC at input_size (normalization and
         # layout folded into the model, e.g. the ResNet s2d stem)
@@ -311,7 +315,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
             std=(1.0, 1.0, 1.0),
             bgr_input=True,
         )
-        return spec, q_apply_fn, qparams, q_raw_apply_fn
+        return spec, q_apply_fn, qparams, q_raw_apply_fn, weights_loaded
 
     def apply_fn(vars_, x):
         logits, feats = model.apply(vars_, x, return_features=True)
@@ -337,7 +341,7 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
         std=(1.0, 1.0, 1.0),
         bgr_input=True,
     )
-    return spec, apply_fn, variables, raw_apply_fn
+    return spec, apply_fn, variables, raw_apply_fn, weights_loaded
 
 
 def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
@@ -351,8 +355,20 @@ def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
     dummy = jnp.zeros((1, 3, vcfg.image_size, vcfg.image_size), jnp.float32)
     variables = model.init(rng, dummy)
     ckpt = cfg.onnx_path
+    weights_loaded = False
     if ckpt and os.path.exists(ckpt) and ckpt.endswith((".pt", ".bin", ".safetensors", ".npz")):
         variables = _load_vit_checkpoint(ckpt, vcfg, dict(variables))
+        weights_loaded = True
+    elif ckpt and not ckpt.endswith(".onnx"):
+        # .onnx is the config's resnet-oriented default — silently skipping
+        # it for a ViT tower is intended; any OTHER unloadable path was an
+        # explicit ask, so say loudly that random init is being used
+        log.warning(
+            "ViT checkpoint %s not loaded (%s) — using random init",
+            ckpt,
+            "file missing" if not os.path.exists(ckpt)
+            else "unsupported extension; want .pt/.bin/.safetensors/.npz",
+        )
 
     def apply_fn(vars_, x):
         return model.apply(vars_, x)
@@ -366,7 +382,7 @@ def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
         std=vcfg.std,
         bgr_input=True,
     )
-    return spec, apply_fn, variables
+    return spec, apply_fn, variables, weights_loaded
 
 
 def _load_vit_checkpoint(path: str, vcfg, variables: dict) -> dict:
@@ -420,11 +436,13 @@ def create_embedder(
         raise ValueError("quantize='int8' is supported for resnet50 only")
     raw_apply_fn = None
     if cfg.model == "resnet50":
-        spec, apply_fn, variables, raw_apply_fn = _build_resnet50(cfg, seed)
+        spec, apply_fn, variables, raw_apply_fn, loaded = _build_resnet50(
+            cfg, seed)
     elif cfg.model in list_models():
-        spec, apply_fn, variables = _build_vit(cfg.model, cfg, seed)
+        spec, apply_fn, variables, loaded = _build_vit(cfg.model, cfg, seed)
     else:
         raise ValueError(f"unknown model {cfg.model!r}; know {list_models()}")
     batch = cfg.batch_size or DEFAULT_BATCH.get(cfg.model, 256)
     return Embedder(spec, apply_fn, variables, batch, mesh,
-                    tag=_weights_tag(cfg, seed), raw_apply_fn=raw_apply_fn)
+                    tag=_weights_tag(cfg, seed), raw_apply_fn=raw_apply_fn,
+                    weights_loaded=loaded)

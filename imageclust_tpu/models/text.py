@@ -141,8 +141,12 @@ class TextEncoder:
         # vocab/eot_id; with caller-provided variables (e.g. a checkpoint
         # trained with the hash tokenizer, vocab 16384) that would break at
         # apply time with a shape mismatch — so with existing variables the
-        # BPE path requires an EXPLICIT bpe_path opt-in.
-        adopt_bpe = bpe_path is not None or variables is None
+        # BPE path requires an EXPLICIT opt-in: the bpe_path argument or the
+        # IMAGECLUST_BPE_PATH env var (both are deliberate user asks; only
+        # the conventional-filename fallback stays variables=None-gated).
+        adopt_bpe = (bpe_path is not None
+                     or bool(os.environ.get("IMAGECLUST_BPE_PATH"))
+                     or variables is None)
         if adopt_bpe and os.path.exists(path):
             try:
                 self.tokenizer = BPETokenizer(

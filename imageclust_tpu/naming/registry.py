@@ -133,7 +133,7 @@ class NamingService:
         """
         done: dict[str, list[ModelOutput]] = {}
         if state_path and os.path.exists(state_path):
-            done = _load_naming_state(state_path, set(texts))
+            done = _load_naming_state(state_path, texts)
             if done:
                 log.info("naming state: %d/%d clusters already named",
                          len(done), len(texts))
@@ -161,12 +161,19 @@ class NamingService:
 
         def run(cid: str) -> tuple[str, list[ModelOutput]]:
             outs = self.generate_multi(texts[cid])
+            # all-fallback outputs mean every backend failed (throttle or
+            # outage) — persisting them would cache the failure forever,
+            # turning the documented re-run recovery path into a no-op
+            worth_saving = any(o.title != FALLBACK_TITLE
+                               or o.catchy_phrase != FALLBACK_PHRASE
+                               for o in outs)
             with lock:
                 counter[0] += 1
                 n = counter[0]
-                if state_fh is not None:
+                if state_fh is not None and worth_saving:
                     state_fh.write(json.dumps({
                         "cluster": cid,
+                        "text_sha": _text_sha(texts[cid]),
                         "outputs": [[o.service_name, o.title,
                                      o.catchy_phrase, o.order]
                                     for o in outs],
@@ -197,10 +204,21 @@ class NamingService:
         return ModelOutput(service_name, FALLBACK_TITLE, FALLBACK_PHRASE, 0)
 
 
-def _load_naming_state(path: str, known: set[str]) -> dict[str, list[ModelOutput]]:
+def _text_sha(text: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()[:16]
+
+
+def _load_naming_state(
+        path: str, texts: dict[str, str]) -> dict[str, list[ModelOutput]]:
     """Parse a naming-state JSONL, dropping a torn trailing line and any
-    clusters not in the current job (stale state files must not inject
-    ghost clusters)."""
+    record whose cluster id OR aggregated label text doesn't match the
+    current job. The generic ``Cluster-N`` ids collide across different
+    corpora sharing a work dir, so each record carries the sha of the text
+    it was named FROM — identical text makes reuse correct by construction
+    (the LLM request is a pure function of the text), anything else is
+    stale and must be renamed."""
     out: dict[str, list[ModelOutput]] = {}
     with open(path, encoding="utf-8") as fh:
         for line in fh:
@@ -210,11 +228,12 @@ def _load_naming_state(path: str, known: set[str]) -> dict[str, list[ModelOutput
             try:
                 rec = json.loads(line)
                 cid = rec["cluster"]
+                sha = rec["text_sha"]
                 outs = [ModelOutput(s, t, p, o)
                         for s, t, p, o in rec["outputs"]]
             except (ValueError, KeyError, TypeError):
-                continue  # torn write from a crash mid-line
-            if cid in known:
+                continue  # torn write from a crash mid-line, or pre-sha state
+            if cid in texts and sha == _text_sha(texts[cid]):
                 out[cid] = outs
     return out
 

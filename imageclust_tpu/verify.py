@@ -133,14 +133,22 @@ def verify_clip(clip_path: str, bpe_path: str | None = None) -> dict:
     """Load-and-shape gate for a CLIP vision checkpoint (+ optional BPE
     vocabulary). No independent CLIP runtime exists in this image, so this
     verifies ingestion and output structure, not numerics."""
+    import os
+
     import jax.numpy as jnp  # noqa: F401  (backend init before towers)
 
     from imageclust_tpu.config import EmbedConfig
     from imageclust_tpu.models.registry import create_embedder
 
+    if not os.path.exists(clip_path):
+        raise ValueError(f"CLIP checkpoint not found: {clip_path}")
     report: dict = {"clip": clip_path, "checks": {}}
     emb = create_embedder(EmbedConfig(model="vit_b32", onnx_path=clip_path,
                                       batch_size=8))
+    # a gate that certifies random init is worse than no gate: the builder
+    # silently keeps the fresh init when the file has an extension it does
+    # not ingest — surface that as a FAIL, not a PASS
+    report["checks"]["ingested"] = bool(emb.weights_loaded)
     _, images = _fixture_images(None, 4, size=emb.spec.input_size)
     vecs = emb.embed(images)
     report["checks"]["image_dim"] = int(vecs.shape[1])
@@ -157,7 +165,8 @@ def verify_clip(clip_path: str, bpe_path: str | None = None) -> dict:
         report["checks"]["text_dim"] = int(tvec.shape[1])
         report["checks"]["text_finite"] = bool(np.isfinite(tvec).all())
 
-    report["ok"] = bool(report["checks"]["image_finite"]
+    report["ok"] = bool(report["checks"]["ingested"]
+                        and report["checks"]["image_finite"]
                         and report["checks"].get("text_finite", True))
     return report
 

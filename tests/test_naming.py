@@ -277,12 +277,16 @@ class TestClusterFanOut:
                     for k, v in first.items()}
 
     def test_resume_partial_and_torn_line(self, tmp_path):
+        from imageclust_tpu.naming.registry import _text_sha
+
         state = tmp_path / "naming_state.jsonl"
         state.write_text(
             json.dumps({"cluster": "Cluster-0",
+                        "text_sha": _text_sha("labels 0"),
                         "outputs": [["Counting", "T0", "P0", 1]]})
             + "\n"
             + json.dumps({"cluster": "Cluster-ghost",
+                          "text_sha": _text_sha("ghost"),
                           "outputs": [["Counting", "G", "G", 1]]})
             + "\n"
             + '{"cluster": "Cluster-1", "outp'  # torn crash write
@@ -300,6 +304,60 @@ class TestClusterFanOut:
         svc3 = NamingService([namer3], cluster_concurrency=2)
         svc3.name_clusters(texts, state_path=str(state))
         assert namer3.calls == 0
+
+    def test_state_keyed_by_text_not_just_cluster_id(self, tmp_path):
+        """Reusing a work dir with a DIFFERENT corpus must not serve the
+        previous corpus's titles: the generic Cluster-N ids match, but the
+        per-record text sha doesn't (review finding)."""
+        state = tmp_path / "naming_state.jsonl"
+        texts_a = {"Cluster-0": "cats, whiskers", "Cluster-1": "dogs, bones"}
+        namer_a = _CountingNamer(delay=0.0)
+        NamingService([namer_a], cluster_concurrency=2).name_clusters(
+            texts_a, state_path=str(state))
+        assert namer_a.calls == 2
+
+        texts_b = {"Cluster-0": "boats, sails", "Cluster-1": "dogs, bones"}
+        namer_b = _CountingNamer(delay=0.0)
+        outs = NamingService([namer_b], cluster_concurrency=2).name_clusters(
+            texts_b, state_path=str(state))
+        # Cluster-1's text is unchanged -> reused; Cluster-0 renamed
+        assert namer_b.calls == 1
+        assert set(outs) == set(texts_b)
+
+    def test_fallback_outputs_not_persisted(self, tmp_path):
+        """A transient all-backend failure must be retried on resume, not
+        cached forever in the state file (review finding)."""
+        from imageclust_tpu.naming.base import FALLBACK_TITLE, Namer
+
+        class FlakyNamer(Namer):
+            name = "Flaky"
+            order = 1
+
+            def __init__(self):
+                self.calls = 0
+                self.fail = True
+
+            def generate(self, text, retries):
+                self.calls += 1
+                if self.fail:
+                    raise RuntimeError("throttled")
+                return f"T:{text}", f"P:{text}"
+
+        state = tmp_path / "naming_state.jsonl"
+        texts = {"Cluster-0": "labels 0"}
+        flaky = FlakyNamer()
+        svc = NamingService([flaky], cluster_concurrency=1)
+        outs = svc.name_clusters(texts, state_path=str(state))
+        assert outs["Cluster-0"][0].title == FALLBACK_TITLE
+        assert flaky.calls == 1
+
+        flaky.fail = False  # backend recovered; re-run must retry
+        outs = svc.name_clusters(texts, state_path=str(state))
+        assert outs["Cluster-0"][0].title == "T:labels 0"
+        assert flaky.calls == 2
+        # and the success IS persisted for the next resume
+        outs = svc.name_clusters(texts, state_path=str(state))
+        assert flaky.calls == 2
 
     def test_rate_limiter_mock_clock(self):
         from imageclust_tpu.naming.registry import RateLimiter

@@ -152,3 +152,43 @@ class TestTextEncoderIntegration:
         assert enc.tokenizer is None
         out = enc.encode(["hello"])
         assert out.shape[0] == 1
+
+    def test_env_opt_in_adopts_bpe_even_with_variables(
+            self, tmp_path, monkeypatch):
+        """IMAGECLUST_BPE_PATH is an explicit user ask, equivalent to the
+        bpe_path argument: a caller-provided variables tree must not
+        silently demote it to the hash tokenizer (review finding — a real
+        CLIP text checkpoint would then get garbage in-range ids)."""
+        from imageclust_tpu.models.text import TextConfig, TextEncoder
+
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: test\n" +
+                     "\n".join(f"{a} {b}" for a, b in MERGES))
+        cfg = TextConfig(width=64, depth=2, heads=2, proj_dim=32,
+                         vocab=0, context=16)
+        # build matching variables once via the BPE-shaped tower
+        donor = TextEncoder(cfg=cfg, bpe_path=str(p))
+        monkeypatch.setenv("IMAGECLUST_BPE_PATH", str(p))
+        enc = TextEncoder(cfg=cfg, variables=donor.variables)
+        assert enc.tokenizer is not None
+        assert enc.cfg.vocab == donor.cfg.vocab
+
+    def test_conventional_file_not_adopted_with_variables(
+            self, tmp_path, monkeypatch):
+        """Without any explicit ask, existing variables keep the hash
+        tokenizer even when a merges file sits at the conventional path
+        (a hash-tokenizer checkpoint must not shape-mismatch at apply)."""
+        import imageclust_tpu.models.tokenizer as tokmod
+        from imageclust_tpu.models.text import TextEncoder
+
+        p = tmp_path / "merges.txt"
+        p.write_text("#version: test\n" +
+                     "\n".join(f"{a} {b}" for a, b in MERGES))
+        monkeypatch.delenv("IMAGECLUST_BPE_PATH", raising=False)
+        donor = TextEncoder(  # hash-tokenizer shapes (no BPE anywhere)
+            bpe_path=str(tmp_path / "absent.txt"))
+        assert donor.tokenizer is None
+        monkeypatch.setattr(tokmod, "default_bpe_path", lambda: str(p))
+        enc = TextEncoder(variables=donor.variables)
+        assert enc.tokenizer is None
+        assert enc.cfg.vocab == donor.cfg.vocab

@@ -70,3 +70,24 @@ class TestVerifyOnnx:
         rc = main(["verify"])
         assert rc == 2
         assert "nothing to verify" in capsys.readouterr().out
+
+
+class TestVerifyClip:
+    """The CLIP gate must never certify weights that were not ingested
+    (review finding: a missing or unrecognized checkpoint used to PASS on
+    random init because the builder skips loading silently)."""
+
+    def test_missing_checkpoint_raises(self):
+        from imageclust_tpu.verify import verify_clip
+
+        with pytest.raises(ValueError, match="not found"):
+            verify_clip("/nonexistent/clip.pt")
+
+    def test_unloadable_extension_fails_gate(self, tmp_path):
+        from imageclust_tpu.verify import verify_clip
+
+        p = tmp_path / "clip.ckpt"  # exists, but not a loadable extension
+        p.write_bytes(b"\x00" * 16)
+        report = verify_clip(str(p))
+        assert report["checks"]["ingested"] is False
+        assert report["ok"] is False
