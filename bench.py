@@ -258,6 +258,47 @@ def bench_decode(n_images: int, workers: int) -> dict:
     }
 
 
+def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 256 << 20,
+                    block_elems: int = 512 << 20) -> "jax.Array":
+    """Gaussian (n, d) features on device with bounded transient memory.
+
+    ``jax.random.normal`` over the whole array materializes the raw random
+    bits next to the output (~2x the feature bytes, and 32-bit bits for f32):
+    at 10M x 512 that transient alone overflows the chip. Above
+    ``one_shot_elems``, fill a donated buffer block-by-block instead — peak
+    extra memory is one block, and every row is still i.i.d. normal (the
+    clamped tail block merely overwrites some rows with fresh draws).
+
+    Blocks are deliberately LARGE (512M elements): each dispatch carries a
+    multi-second fixed cost on the tunneled backend (measured 10M x 512:
+    77 fills of 64M elems = 450 s, 10 fills of 512M = 9.2 s), and a
+    single-program fori_loop variant was even slower — dispatch count, not
+    bytes, is what this knob controls."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    if n * d <= one_shot_elems:  # one-shot transients are cheap below ~1 GB
+        return jax.random.normal(jax.random.PRNGKey(0), (n, d), dt)
+
+    block = min(n, max(1, block_elems // max(d, 1)))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill(buf, key, start):
+        rows = jax.random.normal(key, (block, d), dt)
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    buf = jnp.zeros((n, d), dt)
+    key = jax.random.PRNGKey(0)
+    for i in range(-(-n // block)):
+        key, sub = jax.random.split(key)
+        # dynamic_update_slice clamps the start index, so the final block
+        # rewrites the tail's overlap with new (equally gaussian) draws
+        buf = fill(buf, sub, min(i * block, n - block))
+    return buf
+
+
 def bench_cluster_only(n: int, d: int, bucket_size: int,
                        engine: str = "auto",
                        feature_dtype: str = "float32") -> dict:
@@ -276,7 +317,7 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
     # generate directly in the residency dtype: keeping an f32 original
     # alive next to the bf16 working copy would waste n*d*4 bytes of HBM
     gen_dt = jnp.bfloat16 if feature_dtype == "bfloat16" else jnp.float32
-    feats = jax.random.normal(jax.random.PRNGKey(0), (n, d), gen_dt)
+    feats = _synth_features(n, d, gen_dt)
 
     def run():
         if engine == "chain":
@@ -309,6 +350,11 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
 
 
 def main() -> int:
+    if os.environ.get("IMAGECLUST_CLUSTER_PROFILE"):
+        import logging
+
+        # surface the engine's per-phase INFO lines on stderr
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
     parser.add_argument("--batch", type=int, default=512)

@@ -25,7 +25,10 @@ approximates the global greedy merge order — the price of scaling;
 
 from __future__ import annotations
 
+import logging
 import math
+import os
+import time
 from functools import partial
 from typing import Sequence
 
@@ -46,6 +49,27 @@ from imageclust_tpu.cluster.ward import (
 
 __all__ = ["constrained_ward_bucketed", "kmeans"]
 
+log = logging.getLogger(__name__)
+
+
+class _PhaseTimer:
+    """Opt-in per-phase wall timing (IMAGECLUST_CLUSTER_PROFILE=1): each
+    tick optionally SYNCS a device array first so the phase boundary is
+    real — syncs cost pipelining, so the timer is a no-op unless asked."""
+
+    def __init__(self):
+        self.on = bool(os.environ.get("IMAGECLUST_CLUSTER_PROFILE"))
+        self.t = time.perf_counter()
+
+    def tick(self, label: str, sync=None) -> None:
+        if not self.on:
+            return
+        if sync is not None:
+            np.asarray(sync)  # block_until_ready is unreliable on axon
+        now = time.perf_counter()
+        log.info("cluster phase %-16s %7.2fs", label, now - self.t)
+        self.t = now
+
 _TOP_PREF = 8  # per-item bucket preferences exported to the host
 
 
@@ -53,73 +77,100 @@ _KMEANS_BLOCK = 1 << 16  # rows per assignment block: caps the (block, k)
 # distance tile so million-image jobs never materialize an (n, k) matrix
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "top_k", "block"))
-def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
-           top_k: int = _TOP_PREF, block: int = _KMEANS_BLOCK):
-    """Lloyd's k-means on device, block-scanned over rows.
-
-    Distances are MXU matmuls computed one (block, k) tile at a time under
-    ``lax.scan``; blocks are read from the ORIGINAL feature buffer via
-    ``dynamic_slice`` (an earlier version concatenated a zero-padded copy
-    of the whole matrix — a second (n, d) allocation that OOMed the 2M-row
-    tier), with only the sub-block tail materialized padded. HBM stays
-    O(n*d + k*d + block*k). Returns (centroids (k,d), assign (n,), own_d
-    (n,), top_pref (n,top_k)) — everything the host-side capacity repair
-    needs, a few bytes per item instead of the full (n,k) matrix.
-    """
-    n_real, d = x.shape
+def _kmeans_block(n_real: int, k: int, block: int) -> int:
     block = min(block, 1 << (max(n_real - 1, 1)).bit_length())
     # cap the (block, k) distance tile at ~1.5 GB: at 10M rows k is ~52k
     # buckets and the default 64k block would need a 13.7 GB tile
     while block > 2048 and block * k * 4 > (3 << 29):
         block //= 2
+    return block
+
+
+def _kmeans_tail(x: jax.Array, block: int):
+    """Zero-padded tail block (< block rows) + its validity mask — the only
+    padded copy of any feature rows."""
+    n_real, d = x.shape
     n_main = (n_real // block) * block
-    n_blocks = n_main // block
-    # tail: the only padded copy, < block rows
     tail_n = n_real - n_main
     tail = jnp.zeros((block, d), x.dtype)
     if tail_n:
         tail = jax.lax.dynamic_update_slice_in_dim(
             tail, jax.lax.dynamic_slice_in_dim(x, n_main, tail_n, 0), 0, 0)
-    tail_valid = jnp.arange(block) < tail_n
+    return tail, jnp.arange(block) < tail_n
 
+
+def _sqdist_tile(rows: jax.Array, cents: jax.Array) -> jax.Array:
+    """(block, k) squared distances for bucket ASSIGNMENT.
+
+    For bf16-resident features the gram runs with native bf16 MXU inputs
+    (centroids rounded to bf16; norms taken from the same rounded values so
+    the quadratic expansion stays consistent) — ~4x over upcasting to f32
+    matmuls, in the mode already documented as non-parity near ties. f32
+    features keep the exact f32 path."""
+    if rows.dtype == jnp.bfloat16:
+        c16 = cents.astype(jnp.bfloat16)
+        xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
+        yy = jnp.sum(jnp.square(c16.astype(jnp.float32)), axis=1)[None, :]
+        g = jax.lax.dot_general(
+            rows, c16, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.maximum(xx + yy - 2.0 * g, 0.0)
+    return _sqdist(rows, cents)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _kmeans_init(x: jax.Array, k: int, seed) -> jax.Array:
     key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.permutation(key, n_real)[:k]
-    cents = x[init_idx].astype(jnp.float32)  # (k, d): f32 even on bf16 feats
+    init_idx = jax.random.permutation(key, x.shape[0])[:k]
+    return x[init_idx].astype(jnp.float32)  # (k, d): f32 even on bf16 feats
 
-    def lloyd(cents, _):
-        def accum(carry, rows, valid):
-            sums, counts = carry
-            d2 = _sqdist(rows, cents)  # (block, k)
-            assign = jnp.argmin(d2, axis=1)
-            onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
-            onehot = onehot * valid[:, None]
-            counts = counts + jnp.sum(onehot, axis=0)
-            sums = sums + jax.lax.dot_general(
-                onehot, rows.astype(jnp.float32),  # fused tile cast (bf16)
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return sums, counts
 
-        def blk(carry, i):
-            rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
-            return accum(carry, rows, jnp.ones(block, jnp.float32)), None
+@partial(jax.jit, static_argnames=("k", "block"), donate_argnums=(1,))
+def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
+                 block: int) -> jax.Array:
+    n_real, d = x.shape
+    n_blocks = (n_real // block)
+    tail, tail_valid = _kmeans_tail(x, block)
+    acc_dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
 
-        carry = (jnp.zeros((k, d), jnp.float32), jnp.zeros(k, jnp.float32))
-        if n_blocks:  # static: scan traces its body even at length 0
-            carry, _ = jax.lax.scan(
-                blk, carry, jnp.arange(n_blocks, dtype=jnp.int32))
-        sums, counts = accum(carry, tail, tail_valid.astype(jnp.float32))
-        new = sums / jnp.maximum(counts, 1.0)[:, None]
-        return jnp.where(counts[:, None] > 0, new, cents), None
+    def accum(carry, rows, valid):
+        sums, counts = carry
+        d2 = _sqdist_tile(rows, cents)  # (block, k)
+        assign = jnp.argmin(d2, axis=1)
+        # 0/1 one-hot is exact in bf16; bf16 x bf16 MXU products are exact
+        # in the f32 accumulator, so acc_dt only changes speed, not values
+        onehot = jax.nn.one_hot(assign, k, dtype=acc_dt)
+        onehot = onehot * valid[:, None].astype(acc_dt)
+        counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
+        sums = sums + jax.lax.dot_general(
+            onehot, rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return sums, counts
 
-    cents, _ = jax.lax.scan(lloyd, cents, None, length=iters)
+    def blk(carry, i):
+        rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
+        return accum(carry, rows, jnp.ones(block, jnp.bool_)), None
 
-    kk = min(top_k, k)
+    carry = (jnp.zeros((k, d), jnp.float32), jnp.zeros(k, jnp.float32))
+    if n_blocks:  # static: scan traces its body even at length 0
+        carry, _ = jax.lax.scan(
+            blk, carry, jnp.arange(n_blocks, dtype=jnp.int32))
+    sums, counts = accum(carry, tail, tail_valid)
+    new = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where(counts[:, None] > 0, new, cents)
+
+
+@partial(jax.jit, static_argnames=("kk", "block"))
+def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
+    n_real, _ = x.shape
+    n_blocks = (n_real // block)
+    tail, _ = _kmeans_tail(x, block)
 
     def summarize(rows):
-        d2 = _sqdist(rows, cents)
+        d2 = _sqdist_tile(rows, cents)
         assign = jnp.argmin(d2, axis=1)
         own = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
         _, pref = jax.lax.top_k(-d2, kk)
@@ -141,6 +192,71 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
         assign = t_assign[:n_real]
         own_d = t_own[:n_real]
         top_pref = t_pref[:n_real]
+    return assign, own_d, top_pref
+
+
+# Lloyd fit runs on a random subsample of >= this many rows per center
+# (ONE full-data assignment pass always follows). 32/center keeps the
+# centroid estimates stable for bucketing while cutting the dominant
+# (block, k) tile traffic ~6x at the 10M tier, where the fit passes are
+# pure HBM-bandwidth: n*k*4 bytes per iteration regardless of d.
+_KMEANS_FIT_PER_CENTER = 32
+
+# subsampling engages only above this row count: below it the full fit is
+# cheap and keeping it bit-exact means sub-1M results never change
+_KMEANS_SUBSAMPLE_MIN_N = 1 << 20
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _kmeans_subsample(x: jax.Array, m: int, seed) -> jax.Array:
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+    idx = jax.random.choice(key, x.shape[0], (m,), replace=False)
+    return x[idx]
+
+
+def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
+           top_k: int = _TOP_PREF, block: int = _KMEANS_BLOCK,
+           fit_per_center: int = _KMEANS_FIT_PER_CENTER):
+    """Lloyd's k-means on device, block-scanned over rows.
+
+    Distances are MXU matmuls computed one (block, k) tile at a time under
+    ``lax.scan``; blocks are read from the ORIGINAL feature buffer via
+    ``dynamic_slice`` (an earlier version concatenated a zero-padded copy
+    of the whole matrix — a second (n, d) allocation that OOMed the 2M-row
+    tier), with only the sub-block tail materialized padded. HBM stays
+    O(n*d + k*d + block*k). Returns (centroids (k,d), assign (n,), own_d
+    (n,), top_pref (n,top_k)) — everything the host-side capacity repair
+    needs, a few bytes per item instead of the full (n,k) matrix.
+
+    Each Lloyd iteration is its OWN device program, host-stepped with a
+    donated centroid carry: one fused program of all ``iters`` iterations
+    runs past the TPU worker's ~4-minute watchdog at the 10M x 512 tier
+    (observed worker kill — same failure mode the chain engine's segmented
+    loops work around). Per-iteration numerics are unchanged.
+
+    When n greatly exceeds ``fit_per_center * k``, the Lloyd iterations fit
+    on a random subsample of that size (the final assignment pass always
+    sees every row): this is bucket SEEDING, not the clustering result —
+    capacity repair and the spill passes downstream correct any placement
+    the cheaper fit gets wrong, exactly as they do for the full fit."""
+    n_real, _ = x.shape
+    fit_x = x
+    m = fit_per_center * k
+    # only subsample when it saves real traffic (>2x) AND the job is in the
+    # millions-tier where that traffic is seconds-to-minutes — below 1M rows
+    # the full fit stays, so every existing result (and test) is unchanged
+    if (fit_per_center and m >= k
+            and n_real > max(2 * m, _KMEANS_SUBSAMPLE_MIN_N)):
+        fit_x = _kmeans_subsample(x, m, seed)
+    fit_block = _kmeans_block(fit_x.shape[0], k, block)
+    cents = _kmeans_init(fit_x, k, seed)
+    for _ in range(iters):
+        cents = _kmeans_iter(fit_x, cents, k=k, block=fit_block)
+    if fit_x is not x:
+        del fit_x  # free the (m, d) copy before the full-data pass
+    kk = min(top_k, k)
+    block = _kmeans_block(n_real, k, block)
+    assign, own_d, top_pref = _kmeans_summarize(x, cents, kk=kk, block=block)
     return cents, assign, own_d, top_pref
 
 
@@ -360,8 +476,11 @@ def _chunk_width(bucket_size: int, d: int) -> int:
     10M x 64 / B=256: 51 chunks of 1024 = 72 s of merge time, ~5 ms per
     iteration of overhead; 4096-wide chunks amortize it 4x)."""
     per_bucket = bucket_size * 4 * max(d, bucket_size)
-    width = (2 << 30) // max(1, per_bucket)
-    return max(256, min(4096, 1 << (width.bit_length() - 1)))
+    cap = max(1, (2 << 30) // max(1, per_bucket))  # never exceed ~2 GB
+    # largest power of two within the cap (an earlier 256-bucket FLOOR here
+    # overrode the cap: with B=4096 buckets of 67 MB it gathered ~16 GB per
+    # dispatch, and past B=32k the shift count went negative)
+    return min(4096, 1 << (cap.bit_length() - 1))
 
 
 def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
@@ -595,39 +714,70 @@ def _repair_buckets(
     return [b for b in buckets if b]
 
 
+# cluster-slab width for bf16 spill centroids: bounds the f32 accumulator
+# at (slab+1, d) — a single (c_pad+1, d) f32 accumulator measured 8.6 GB at
+# the 10M x 512 tier (c_pad = 2^22), the OOM next to the resident matrix
+_SPILL_CENT_SLAB = 1 << 19
+
+
 @partial(jax.jit, static_argnames=("c_pad",))
 def _spill_centroids(feats, assign, sizes, c_pad):
     """Once per spill round: every cluster's centroid by segment-sum over
-    the resident feature matrix (one streamed (n, d) pass). Unassigned rows
-    scatter into a dump segment that is sliced off — masking them with an
-    elementwise multiply instead materialized a full (n, d) temp (5.7 GB at
-    1.5M x 1000, the OOM next to the resident matrix)."""
+    the resident feature matrix. Unassigned rows scatter into a dump
+    segment that is sliced off — masking them with an elementwise multiply
+    instead materialized a full (n, d) temp (5.7 GB at 1.5M x 1000, the OOM
+    next to the resident matrix).
+
+    bf16 features: centroids are RETURNED in bf16 (candidate ranking in the
+    mode's documented near-tie tolerance) and accumulated one cluster-slab
+    at a time — every slab streams the full matrix, but that is ~0.1 s/pass
+    of bandwidth vs an (c_pad+1, d) f32 accumulator that cannot fit."""
     seg = jnp.where(assign >= 0, assign, c_pad)
     if feats.dtype == jnp.bfloat16:
-        # f32 accumulation without a full f32 copy of the resident matrix:
-        # block-scan rows, cast per tile, accumulate into (c_pad+1, d) f32
         n, d = feats.shape
         block = min(1 << 16, 1 << max(n - 1, 1).bit_length())
         n_main = (n // block) * block
         n_blocks = n_main // block
+        C = min(c_pad, _SPILL_CENT_SLAB)
+        n_slabs = -(-c_pad // C)
 
-        def blk(sums, i):
-            rows = jax.lax.dynamic_slice_in_dim(
-                feats, i * block, block, 0).astype(jnp.float32)
-            sg = jax.lax.dynamic_slice_in_dim(seg, i * block, block, 0)
-            return sums + jax.ops.segment_sum(
-                rows, sg, num_segments=c_pad + 1), None
+        def slab_sums(base):
+            # segment-sum restricted to clusters [base, base+C): everything
+            # else lands in the dump row C
+            local = seg - base
+            local = jnp.where((local >= 0) & (local < C), local, C)
 
-        sums = jnp.zeros((c_pad + 1, d), jnp.float32)
-        if n_blocks:
-            sums, _ = jax.lax.scan(
-                blk, sums, jnp.arange(n_blocks, dtype=jnp.int32))
-        if n - n_main:
-            tail = feats[n_main:].astype(jnp.float32)
-            sums = sums + jax.ops.segment_sum(
-                tail, seg[n_main:], num_segments=c_pad + 1)
-        sums = sums[:c_pad]
-        return sums / jnp.maximum(sizes, 1)[:, None].astype(jnp.float32)
+            def blk(sums, i):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    feats, i * block, block, 0).astype(jnp.float32)
+                sg = jax.lax.dynamic_slice_in_dim(local, i * block, block, 0)
+                return sums + jax.ops.segment_sum(
+                    rows, sg, num_segments=C + 1), None
+
+            sums = jnp.zeros((C + 1, d), jnp.float32)
+            if n_blocks:
+                sums, _ = jax.lax.scan(
+                    blk, sums, jnp.arange(n_blocks, dtype=jnp.int32))
+            if n - n_main:
+                tail = feats[n_main:].astype(jnp.float32)
+                sums = sums + jax.ops.segment_sum(
+                    tail, local[n_main:], num_segments=C + 1)
+            return sums[:C]
+
+        def slab(out, j):
+            # clamped start: a partial final slab recomputes the overlap
+            # (identical values written twice) so every slab shape is equal
+            base = jnp.minimum(j * C, c_pad - C)
+            sz = jax.lax.dynamic_slice_in_dim(sizes, base, C, 0)
+            mean = slab_sums(base) / jnp.maximum(
+                sz, 1)[:, None].astype(jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                out, mean.astype(jnp.bfloat16), (base, 0)), None
+
+        out = jnp.zeros((c_pad, d), jnp.bfloat16)
+        out, _ = jax.lax.scan(
+            slab, out, jnp.arange(n_slabs, dtype=jnp.int32))
+        return out
     sums = jax.ops.segment_sum(feats, seg, num_segments=c_pad + 1)[:c_pad]
     return sums / jnp.maximum(sizes, 1)[:, None].astype(feats.dtype)
 
@@ -640,7 +790,9 @@ def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
     ``cluster_bucket``/``item_bucket``, candidates are restricted to the
     item's OWN bucket (the bucket-local pass)."""
     dx = feats[drop_idx]
-    d2 = _sqdist(dx, cents)  # (chunk, c_pad)
+    # _sqdist_tile: bf16 features run the native-bf16 gram against the
+    # (now bf16) centroid matrix — no f32 copy of (c_pad, d) materializes
+    d2 = _sqdist_tile(dx, cents)  # (chunk, c_pad)
     d2 = jnp.where(sizes[None, :] < max_size, d2, jnp.inf)
     if cluster_bucket is not None:
         d2 = jnp.where(cluster_bucket[None, :] == item_bucket[:, None],
@@ -762,7 +914,15 @@ def _spill_rounds(
         if n_c == 0 or not still:
             break
         n = feats.shape[0]
-        c_pad = 1 << max(n_c - 1, 1).bit_length()  # static shapes
+        # static shapes: power-of-two padding below ~0.5M clusters (compile
+        # cache classes); above it, pad to a 64k multiple instead — po2
+        # nearly DOUBLES the centroid matrix at the 10M tier (2.17M live
+        # clusters -> 2^22 rows), which is the difference between the spill
+        # phase fitting next to the resident bf16 matrix and OOMing
+        if n_c > _SPILL_CENT_SLAB:
+            c_pad = -(-n_c // (1 << 16)) * (1 << 16)
+        else:
+            c_pad = 1 << max(n_c - 1, 1).bit_length()
         sizes = np.full(c_pad, max_size, np.int32)  # padding reads "full"
         sizes[:n_c] = cols.sizes()
         if not (sizes[:n_c] < max_size).any():
@@ -974,11 +1134,14 @@ def constrained_ward_bucketed(
             mesh=mesh,
         )
 
+    pt = _PhaseTimer()
     _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)
+    pt.tick("kmeans", sync=own_d_d)
     buckets = _repair_buckets(
         np.asarray(assign_d), np.asarray(own_d_d), np.asarray(pref_d),
         n_buckets, bucket_size, min_size,
     )
+    pt.tick("bucket-repair")
 
     nb = len(buckets)
     if mesh is not None:
@@ -1040,6 +1203,7 @@ def constrained_ward_bucketed(
     steps = _to_host(steps)
     births = _to_host(births)
     active = _to_host(active)
+    pt.tick("bucket-merges")
 
     dropped_idx: list[int] = []
     # Re-stamp the bucket-LOCAL logs into one global birth space so
@@ -1069,6 +1233,7 @@ def constrained_ward_bucketed(
         merges_arr = stamped[row_valid].astype(np.int32)
     else:
         merges_arr = np.zeros((0, 3), np.int32)
+    pt.tick("merge-restamp")
 
     # Member expansion: the native runtime's linked-list pass when present,
     # then a fully VECTORIZED columnar filter (the per-cluster python loop
@@ -1112,14 +1277,18 @@ def constrained_ward_bucketed(
                 bucket_l.append(bi)
         cols = _Clusters.from_lists(clusters_l, bucket_l)
 
+    pt.tick("reconstruction")
     if reassign_dropped and dropped_idx:
         dropped_idx = _spill_bucket_local(
             feats, buckets, cols, dropped_idx, max_size
         )
+        pt.tick("spill-local")
     if reassign_dropped and dropped_idx:
         dropped_idx = _spill_global(feats, cols, dropped_idx, max_size)
+        pt.tick("spill-global")
 
     members_f, offsets_f = cols.finalize()
+    pt.tick("finalize")
     return ClusterResult(
         merges=merges_arr,
         n_items=n,

@@ -22,6 +22,48 @@ class TestKMeans:
         # all four blobs recovered as distinct buckets
         assert len(set(assign.tolist())) == 4
 
+    def test_subsampled_fit_engages_above_threshold(self, rng, monkeypatch):
+        """Above the row threshold the Lloyd fit runs on a random subsample
+        (one full-data assignment pass follows): same separable structure
+        must still be recovered, and the full fit below the threshold is
+        untouched (module constant gates it)."""
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        # unshuffled blobs (the fixture permutes rows): row block i = blob i
+        centers = rng.normal(size=(4, 8)).astype(np.float32) * 10.0
+        x = np.concatenate([
+            c + rng.normal(size=(64, 8)).astype(np.float32) * 0.05
+            for c in centers])
+        calls = []
+        orig = sh._kmeans_subsample
+
+        def counting(xa, m, seed):
+            calls.append(m)
+            return orig(xa, m, seed)
+
+        monkeypatch.setattr(sh, "_kmeans_subsample", counting)
+        # default gate (1M rows): no subsample at this size
+        kmeans(jnp.asarray(x), 4, iters=6)
+        assert calls == []
+        # drop the gate: fit on 4*fit_per_center rows, blobs still found
+        monkeypatch.setattr(sh, "_KMEANS_SUBSAMPLE_MIN_N", 0)
+        cents, assign, own_d, top_pref = kmeans(
+            jnp.asarray(x), 4, iters=6, fit_per_center=16)
+        assert calls == [64]
+        # contract: full-data assignment pass (shapes cover every row)
+        assert np.asarray(assign).shape == (256,)
+        assert np.asarray(own_d).shape == (256,)
+        np.testing.assert_array_equal(np.asarray(top_pref)[:, 0],
+                                      np.asarray(assign))
+        # locality: the fit is a heuristic (a 64-row sample may double-cover
+        # a blob), but most blobs must still land in a single bucket —
+        # capacity repair downstream absorbs the rest
+        a = np.asarray(assign).reshape(4, 64)
+        pure = sum(len(set(row.tolist())) == 1 for row in a)
+        assert pure >= 3
+
 
 class TestBucketed:
     def test_size_bounds_and_partition(self, rng, blobs):
@@ -461,3 +503,31 @@ class TestBf16Features:
         # blocked f32 accumulation: error bounded by the INPUT bf16
         # rounding alone, not by bf16 summation drift over 175-row segments
         np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+    def test_spill_centroids_bf16_slabbed(self, monkeypatch):
+        """Force the multi-slab path (slab width 3, c_pad 7: a clamped
+        partial final slab) and pin it against per-cluster numpy means —
+        the path that replaces the (c_pad+1, d) f32 accumulator that OOMed
+        the 10M x 512 tier."""
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        monkeypatch.setattr(sh, "_SPILL_CENT_SLAB", 3)
+        rng = np.random.default_rng(5)
+        n, d, c_pad, c_live = 200, 8, 7, 6
+        feats = rng.normal(size=(n, d)).astype(np.float32)
+        assign = rng.integers(-1, c_live, n).astype(np.int32)  # -1 = dropped
+        sizes = np.zeros(c_pad, np.int32)
+        for a in assign:
+            if a >= 0:
+                sizes[a] += 1
+        got = np.asarray(sh._spill_centroids(
+            jnp.asarray(feats).astype(jnp.bfloat16), jnp.asarray(assign),
+            jnp.asarray(sizes), c_pad), dtype=np.float32)
+        assert got.shape == (c_pad, d)
+        for ci in range(c_live):
+            mask = assign == ci
+            ref = feats[mask].mean(axis=0)
+            np.testing.assert_allclose(got[ci], ref, atol=2e-2, rtol=2e-2)
+        np.testing.assert_array_equal(got[c_live:], 0.0)  # empty clusters
