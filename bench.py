@@ -258,7 +258,7 @@ def bench_decode(n_images: int, workers: int) -> dict:
     }
 
 
-def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 256 << 20,
+def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 1 << 30,
                     block_elems: int = 512 << 20) -> "jax.Array":
     """Gaussian (n, d) features on device with bounded transient memory.
 
@@ -279,7 +279,7 @@ def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 256 << 20,
     import jax
     import jax.numpy as jnp
 
-    if n * d <= one_shot_elems:  # one-shot transients are cheap below ~1 GB
+    if n * d <= one_shot_elems:  # one-shot transients are fine to ~8 GB
         return jax.random.normal(jax.random.PRNGKey(0), (n, d), dt)
 
     block = min(n, max(1, block_elems // max(d, 1)))

@@ -641,9 +641,13 @@ def _repair_buckets(
     """Host-side capacity repair over per-item summaries: every bucket ends
     with min_size <= len <= capacity; spilled items go to the nearest
     preferred bucket with space."""
-    buckets: list[list[int]] = [[] for _ in range(n_buckets)]
-    for i, a in enumerate(assign):
-        buckets[int(a)].append(i)
+    # vectorized grouping (a 10M-iteration python append loop costs ~10 s
+    # at the top tier); stable argsort keeps ascending item order per
+    # bucket — identical to the sequential appends
+    order = np.argsort(assign, kind="stable")
+    counts0 = np.bincount(assign, minlength=n_buckets)
+    buckets: list[list[int]] = [
+        s.tolist() for s in np.split(order, np.cumsum(counts0)[:-1])]
 
     def place(i: int, avoid: int, pred) -> bool:
         for nb in top_pref[i]:
@@ -783,20 +787,42 @@ def _spill_centroids(feats, assign, sizes, c_pad):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
-                      cluster_bucket=None, item_bucket=None):
-    """Per chunk of leftover items: top-k nearest clusters that still have
-    room. Only (chunk, k) indices cross to the host. With
-    ``cluster_bucket``/``item_bucket``, candidates are restricted to the
-    item's OWN bucket (the bucket-local pass)."""
+def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
+                            bucket_clusters, k, max_size):
+    """Bucket-LOCAL candidate search: gather only each item's own bucket's
+    cluster centroids — (chunk, mc, d) with mc = max clusters per bucket
+    (~bucket_size/min_size) — instead of scoring all c_pad clusters and
+    masking the ~40 relevant columns (at the 10M x 512 tier that full tile
+    plus its top_k temps exhausted the chip). Returns GLOBAL cluster ids,
+    -1 where invalid."""
+    dx = feats[drop_idx]                       # (chunk, d), native dtype
+    cl = bucket_clusters[item_bucket]          # (chunk, mc), -1 padded
+    safe = jnp.maximum(cl, 0)
+    cc = cents[safe]                           # (chunk, mc, d)
+    xx = jnp.sum(jnp.square(dx.astype(jnp.float32)), -1)[:, None]
+    yy = jnp.sum(jnp.square(cc.astype(jnp.float32)), -1)
+    g = jnp.einsum("cd,cmd->cm", dx, cc,
+                   preferred_element_type=jnp.float32)
+    d2 = xx + yy - 2.0 * g
+    valid = (cl >= 0) & (sizes[safe] < max_size)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    kk = min(k, cl.shape[1])
+    vals, pos = jax.lax.top_k(-d2, kk)
+    cand = jnp.take_along_axis(cl, pos, axis=1)
+    return jnp.where(jnp.isfinite(vals), cand, -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size):
+    """Per chunk of leftover items: top-k nearest clusters (over ALL
+    clusters) that still have room — the GLOBAL pass. Only (chunk, k)
+    indices cross to the host; the bucket-local pass uses
+    :func:`_spill_candidates_local` instead."""
     dx = feats[drop_idx]
     # _sqdist_tile: bf16 features run the native-bf16 gram against the
     # (now bf16) centroid matrix — no f32 copy of (c_pad, d) materializes
     d2 = _sqdist_tile(dx, cents)  # (chunk, c_pad)
     d2 = jnp.where(sizes[None, :] < max_size, d2, jnp.inf)
-    if cluster_bucket is not None:
-        d2 = jnp.where(cluster_bucket[None, :] == item_bucket[:, None],
-                       d2, jnp.inf)
     vals, cand = jax.lax.top_k(-d2, k)
     # inf-masked entries still get top_k positions — mark them invalid so
     # the placement loop can't place an item into a masked-out cluster
@@ -929,22 +955,39 @@ def _spill_rounds(
             break  # genuinely full everywhere
         assign = cols.assign_array(n)
         k = min(max(k, 8), n_c, K_CAP)
-        cb = None
-        if cols.bucket is not None and item_bucket_of is not None:
-            cb = np.full(c_pad, -1, np.int32)
-            cb[:n_c] = cols.bucket
-            cb = jnp.asarray(cb)
-        # chunked candidate queries: the padded width bounds the
-        # (chunk, c_pad) distance tile at ~1 GB — c_pad grows with the
-        # cluster count (524k at 1.5M items), so a fixed width OOMed next
-        # to the resident feature matrix. Power-of-two width keeps one
-        # compiled shape per (c_pad, width) class.
-        budget = (1 << 30) // max(1, 4 * c_pad)
-        CHUNK = 1 << max(7, min(12, budget.bit_length() - 1))
+        local = cols.bucket is not None and item_bucket_of is not None
         sizes_d = jnp.asarray(sizes)
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
         ms = jnp.int32(max_size)
+        if local:
+            # own-bucket pass: candidates come from a (nb, mc) per-bucket
+            # cluster table instead of a c_pad-wide tile — the candidate
+            # SET is identical (same-bucket clusters with room), the cost
+            # is (chunk, mc, d) with mc ~ bucket_size/min_size
+            bk = cols.bucket
+            # cover every ITEM's bucket too: a bucket whose clusters all
+            # dropped has a -1 row (no local candidates -> global pass)
+            nb_max = 1 + max(
+                int(bk.max()) if len(bk) else 0,
+                max(item_bucket_of[i] for i in still),
+            )
+            order = np.argsort(bk, kind="stable")
+            counts_b = np.bincount(bk, minlength=nb_max)
+            mc = max(1, int(counts_b.max()))
+            table = np.full((nb_max, mc), -1, np.int32)
+            table[bk[order], _ranges(counts_b)] = order
+            table_d = jnp.asarray(table)
+            CHUNK = 1024
+        else:
+            # global pass: the padded width bounds the (chunk, c_pad)
+            # distance tile — the nominal tile is budgeted at 256 MB
+            # because top_k over millions of columns materializes ~4x that
+            # in sort/index temps (measured: a 1 GB nominal tile at
+            # c_pad=2.23M exhausted the chip). Power-of-two width keeps
+            # one compiled shape per (c_pad, width) class.
+            budget = (1 << 28) // max(1, 4 * c_pad)
+            CHUNK = 1 << max(5, min(12, budget.bit_length() - 1))
         cand_parts = []
         for s in range(0, len(still), CHUNK):
             part = still[s:s + CHUNK]
@@ -952,26 +995,28 @@ def _spill_rounds(
                 1 << max(len(part) - 1, 0).bit_length())
             idxs = np.zeros(width, np.int32)
             idxs[: len(part)] = part
-            if cb is None:
-                masks = ()
-            else:
+            if local:
                 ib = np.zeros(width, np.int32)
                 ib[: len(part)] = [item_bucket_of[i] for i in part]
-                ib[len(part):] = -2  # padding matches no bucket
-                masks = (cb, jnp.asarray(ib))
-            out = np.asarray(_spill_candidates(
-                feats, cents_d, sizes_d, jnp.asarray(idxs),
-                k, ms, *masks,
-            ))
+                ib[len(part):] = 0  # padded rows are sliced off below
+                out = np.asarray(_spill_candidates_local(
+                    feats, cents_d, sizes_d, jnp.asarray(idxs),
+                    jnp.asarray(ib), table_d, k, ms,
+                ))
+            else:
+                out = np.asarray(_spill_candidates(
+                    feats, cents_d, sizes_d, jnp.asarray(idxs),
+                    k, ms,
+                ))
             cand_parts.append(out[: len(part)])
         cand = np.concatenate(cand_parts) if cand_parts else np.zeros(
             (0, k), np.int32)
-        room = {p: max_size - int(sizes[p]) for p in range(n_c)}
+        room = (max_size - sizes[:n_c]).astype(np.int64)
         next_still: list[int] = []
         for row, item in enumerate(still):
             for p in cand[row]:
                 p = int(p)
-                if 0 <= p < n_c and room.get(p, 0) > 0:
+                if 0 <= p < n_c and room[p] > 0:
                     cols.append(p, item)
                     room[p] -= 1
                     break
@@ -1057,6 +1102,43 @@ def _native_reconstruction(buckets, logs, steps, births, active):
     bases = np.repeat(counts_off[:-1], counts)
     members_glob = members_flat[members_loc.astype(np.int64) + bases]
     return members_glob, sizes, np.repeat(np.arange(nb), n_roots)
+
+
+def _restamp_logs(logs: np.ndarray, steps: np.ndarray, counts: np.ndarray,
+                  bucket_idx: np.ndarray, n: int) -> np.ndarray:
+    """Re-stamp the bucket-LOCAL merge logs into one global birth space so
+    ClusterResult.merges is a valid dendrogram like the exact and chain
+    engines': leaf stamps (< count) become global item indices via the
+    bucket membership matrix; internal stamps (the loop assigns
+    new = count + row) become fresh ids past n, offset by each bucket's
+    cumulative base. Vectorized over ALL buckets at once, compact-FIRST
+    (valid prefixes selected before any mapping) and all-int32: mapping on
+    the padded (nb, L, 2) int64 tensor cost ~8-25 host seconds at the 10M
+    tier on this box; this form measures ~1.2 s bit-identically. Stamps
+    top out at n + total_merges (< 2n + 1), well inside int32 for the
+    int32-indexed engine."""
+    nb, bucket_size = bucket_idx.shape
+    steps = steps.astype(np.int32)
+    total_merges = int(steps.sum(dtype=np.int64))
+    if not total_merges:
+        return np.zeros((0, 3), np.int32)
+    L = logs.shape[1]
+    base = np.empty(nb, np.int32)  # per-bucket stamp base
+    base[0] = n
+    np.cumsum(steps[:-1], out=base[1:])
+    base[1:] += n
+    row_valid = np.arange(L, dtype=np.int32)[None, :] < steps[:, None]
+    flat = logs[:, :, :2][row_valid]  # (total, 2) local stamps
+    rows = np.repeat(np.arange(nb, dtype=np.int32), steps)  # (total,)
+    c_r = counts.astype(np.int32)[rows][:, None]
+    leaf = flat < c_r
+    gathered = bucket_idx[rows[:, None], np.where(leaf, flat, 0)]
+    mapped = np.where(leaf, gathered, base[rows][:, None] + (flat - c_r))
+    pos = np.arange(L, dtype=np.int32)[None, :].repeat(nb, 0)[row_valid]
+    out = np.empty((total_merges, 3), np.int32)
+    out[:, :2] = mapped
+    out[:, 2] = base[rows] + pos
+    return out
 
 
 def _bucket_target(count: int, min_size: int, max_size: int) -> int:
@@ -1206,33 +1288,7 @@ def constrained_ward_bucketed(
     pt.tick("bucket-merges")
 
     dropped_idx: list[int] = []
-    # Re-stamp the bucket-LOCAL logs into one global birth space so
-    # ClusterResult.merges is a valid dendrogram like the exact and chain
-    # engines': leaf stamps (< count) become global item indices via the
-    # bucket membership matrix; internal stamps (the loop assigns
-    # new = count + row) become fresh ids past n, offset by each bucket's
-    # cumulative base. Vectorized over ALL buckets at once — the previous
-    # per-bucket python loop was ~O(nb) host seconds at the 10M tier.
-    steps_l = steps.astype(np.int64)
-    total_merges = int(steps_l.sum())
-    if total_merges:
-        L = logs.shape[1]
-        base = n + np.concatenate(
-            [[0], np.cumsum(steps_l[:-1])])  # (nb,) per-bucket stamp base
-        row_valid = np.arange(L)[None, :] < steps_l[:, None]  # (nb, L)
-        lcols = logs[:, :, :2].astype(np.int64)  # (nb, L, 2) local stamps
-        c_b = counts.astype(np.int64)[:, None, None]
-        mapped = np.where(
-            lcols < c_b,
-            bucket_idx[np.arange(nb)[:, None, None],
-                       np.clip(lcols, 0, bucket_size - 1)],
-            base[:, None, None] + (lcols - c_b),
-        )
-        new_col = base[:, None] + np.arange(L, dtype=np.int64)[None, :]
-        stamped = np.concatenate([mapped, new_col[:, :, None]], axis=2)
-        merges_arr = stamped[row_valid].astype(np.int32)
-    else:
-        merges_arr = np.zeros((0, 3), np.int32)
+    merges_arr = _restamp_logs(logs, steps, counts, bucket_idx, n)
     pt.tick("merge-restamp")
 
     # Member expansion: the native runtime's linked-list pass when present,
