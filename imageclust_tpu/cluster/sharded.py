@@ -669,27 +669,110 @@ def _repair_buckets(
     # popular buckets filled (measured: the dominant host cost at 300k+).
     # The spill source `b` is full by construction, so the cursor never
     # lands on it; placements are identical to the old scan.
+    #
+    # Overflow buckets never RECEIVE spills (place targets have room, so
+    # they fill at most TO capacity), so every overflow bucket still holds
+    # exactly its original members when processed — all the keep/spill
+    # sorts are precomputed in one vectorized pass instead of ~10k python
+    # sorted() calls over millions of items (measured 8+ host seconds at
+    # the 10M tier).
+    over_b = np.flatnonzero(counts0 > capacity)
+    spill_sorted: dict[int, np.ndarray] = {}
+    if len(over_b):
+        offs = np.concatenate([[0], np.cumsum(counts0)])
+        # ONE stable lexsort over all overflow members by (bucket, own_d)
+        # — per-bucket argsort calls cost ~4x as much in small-array
+        # overhead at 10k+ overflow buckets
+        mem_all = np.concatenate(
+            [order[offs[b]:offs[b + 1]] for b in over_b])
+        bid_all = np.repeat(over_b, counts0[over_b])
+        perm = np.lexsort((own_d[mem_all], bid_all))
+        srt_all = mem_all[perm]
+        bounds = np.concatenate([[0], np.cumsum(counts0[over_b])])
+        for z, b in enumerate(over_b):
+            spill_sorted[int(b)] = srt_all[bounds[z]:bounds[z + 1]]
+    # The placement loop itself runs CHUNKED-VECTORIZED with an exact-
+    # semantics guard: for a chunk of spill items, every row's first
+    # in-preference bucket with room is computed against the chunk-START
+    # counts; the whole chunk bulk-applies iff (a) no chosen bucket's
+    # in-chunk demand exceeds its room and (b) every row found an eligible
+    # preference. Under (a) no chosen bucket fills mid-chunk (and full
+    # buckets stay full — this phase only fills), so the sequential scan
+    # would have picked the same buckets; chunks violating the guard
+    # replay through the per-item python loop. Placements are appended to
+    # per-bucket lists at phase end via one stable grouping pass
+    # (processing order preserved). Measured at the 10M tier this takes
+    # the phase from ~24 s of python scanning to ~2 s.
+    cnt = counts0.astype(np.int64)
+    cnt[over_b] = capacity
+    placed_items: list[np.ndarray] = []
+    placed_into: list[np.ndarray] = []
     cursor = 0
-    for b in range(n_buckets):
-        if len(buckets[b]) <= capacity:
-            continue
-        members = sorted(buckets[b], key=lambda i: own_d[i])
-        buckets[b], spill = members[:capacity], members[capacity:]
-        for i in spill:
+    CH = 8192
+
+    def _bulk_try(b: int, chunk: np.ndarray) -> bool:
+        prefs = top_pref[chunk]  # (C, P)
+        elig = (prefs != b) & (cnt[prefs] < capacity)
+        if not elig.any(axis=1).all():
+            return False  # some row needs the cursor fallback
+        j = np.argmax(elig, axis=1)
+        chosen = prefs[np.arange(len(chunk)), j]
+        hot, dem = np.unique(chosen, return_counts=True)
+        if (dem > capacity - cnt[hot]).any():
+            return False  # a chosen bucket would fill mid-chunk
+        placed_items.append(chunk)
+        placed_into.append(chosen.astype(np.int64))
+        cnt[hot] += dem
+        return True
+
+    def _place(b: int, chunk: np.ndarray) -> None:
+        nonlocal cursor
+        if _bulk_try(b, chunk):
+            return
+        if len(chunk) > 128:  # bisect: only the offending tail replays
+            h = len(chunk) // 2
+            _place(b, chunk[:h])
+            _place(b, chunk[h:])
+            return
+        seq_i: list[int] = []
+        seq_t: list[int] = []
+        for i in chunk:
+            i = int(i)
             placed = False
             for nb in top_pref[i]:
                 nb = int(nb)
-                if nb != b and len(buckets[nb]) < capacity:
-                    buckets[nb].append(i)
+                if nb != b and cnt[nb] < capacity:
+                    seq_i.append(i)
+                    seq_t.append(nb)
+                    cnt[nb] += 1
                     placed = True
                     break
             if not placed:
-                while cursor < n_buckets and len(buckets[cursor]) >= capacity:
+                while cursor < n_buckets and cnt[cursor] >= capacity:
                     cursor += 1
-                if cursor < n_buckets:
-                    buckets[cursor].append(i)
-                else:  # pragma: no cover — everything full
-                    buckets[b].append(i)
+                nb = cursor if cursor < n_buckets else b
+                seq_i.append(i)
+                seq_t.append(nb)
+                cnt[nb] += 1
+        placed_items.append(np.asarray(seq_i, dtype=np.int64))
+        placed_into.append(np.asarray(seq_t, dtype=np.int64))
+
+    for b in over_b:
+        b = int(b)
+        srt = spill_sorted[b]
+        buckets[b] = srt[:capacity].tolist()
+        spill = srt[capacity:]
+        for s in range(0, len(spill), CH):
+            _place(b, spill[s:s + CH])
+    if placed_items:
+        items_all = np.concatenate(placed_items)
+        into_all = np.concatenate(placed_into)
+        o2 = np.argsort(into_all, kind="stable")
+        tgt, starts = np.unique(into_all[o2], return_index=True)
+        ends = np.append(starts[1:], len(o2))
+        srt_items = items_all[o2]
+        for t, s0, s1 in zip(tgt.tolist(), starts.tolist(), ends.tolist()):
+            buckets[t].extend(srt_items[s0:s1].tolist())
 
     # Dissolve under-min buckets into the members' preferred buckets. The
     # fallback only targets buckets that are already viable (>= min_size) —

@@ -531,3 +531,130 @@ class TestBf16Features:
             ref = feats[mask].mean(axis=0)
             np.testing.assert_allclose(got[ci], ref, atol=2e-2, rtol=2e-2)
         np.testing.assert_array_equal(got[c_live:], 0.0)  # empty clusters
+
+
+class TestHostTailHelpers:
+    """Direct pins for the 10M-tier host-side helpers: the compact-first
+    restamp and the chunked-vectorized capacity repair must stay
+    bit-identical to their straightforward sequential definitions."""
+
+    def test_restamp_logs_matches_per_bucket_loop(self):
+        from imageclust_tpu.cluster.sharded import _restamp_logs
+
+        rng = np.random.default_rng(11)
+        for _ in range(10):
+            nb = int(rng.integers(1, 6))
+            bucket_size = int(rng.integers(2, 12))
+            n = nb * bucket_size + int(rng.integers(0, 5))
+            L = bucket_size - 1
+            counts = rng.integers(1, bucket_size + 1, nb).astype(np.int32)
+            steps = np.array([rng.integers(0, c) for c in counts],
+                             np.int32)
+            logs = np.zeros((nb, max(L, 1), 3), np.int32)
+            for b in range(nb):
+                for r in range(steps[b]):
+                    hi = counts[b] + r
+                    logs[b, r, 0] = rng.integers(0, hi)
+                    logs[b, r, 1] = rng.integers(0, hi)
+            bucket_idx = rng.integers(0, n, (nb, bucket_size)).astype(
+                np.int32)
+
+            # reference: sequential per-bucket restamp
+            ref_rows = []
+            base = n
+            for b in range(nb):
+                for r in range(steps[b]):
+                    row = []
+                    for c in range(2):
+                        v = int(logs[b, r, c])
+                        if v < counts[b]:
+                            row.append(int(bucket_idx[b, v]))
+                        else:
+                            row.append(base + (v - int(counts[b])))
+                    row.append(base + r)
+                    ref_rows.append(row)
+                base += int(steps[b])
+            ref = (np.asarray(ref_rows, np.int32) if ref_rows
+                   else np.zeros((0, 3), np.int32))
+            got = _restamp_logs(logs, steps, counts, bucket_idx, n)
+            np.testing.assert_array_equal(got, ref)
+
+    def test_repair_buckets_matches_sequential(self):
+        """The chunked bulk placement (guard + bisected replay) must place
+        every spill item into exactly the bucket the per-item scan picks;
+        forcing tiny chunks exercises the replay and grouping paths."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        def reference(assign, own_d, top_pref, n_buckets, capacity,
+                      min_size):
+            buckets = [[] for _ in range(n_buckets)]
+            for i, a in enumerate(assign):
+                buckets[int(a)].append(i)
+
+            def place(i, avoid, pred):
+                for nb in top_pref[i]:
+                    nb = int(nb)
+                    if nb != avoid and pred(buckets[nb]):
+                        buckets[nb].append(i)
+                        return True
+                for nb in range(n_buckets):
+                    if nb != avoid and pred(buckets[nb]):
+                        buckets[nb].append(i)
+                        return True
+                return False
+
+            cursor = 0
+            for b in range(n_buckets):
+                if len(buckets[b]) <= capacity:
+                    continue
+                members = sorted(buckets[b], key=lambda i: own_d[i])
+                buckets[b], spill = members[:capacity], members[capacity:]
+                for i in spill:
+                    placed = False
+                    for nb in top_pref[i]:
+                        nb = int(nb)
+                        if nb != b and len(buckets[nb]) < capacity:
+                            buckets[nb].append(i)
+                            placed = True
+                            break
+                    if not placed:
+                        while (cursor < n_buckets
+                               and len(buckets[cursor]) >= capacity):
+                            cursor += 1
+                        if cursor < n_buckets:
+                            buckets[cursor].append(i)
+                        else:
+                            buckets[b].append(i)
+            for _ in range(n_buckets):
+                changed = False
+                for b in range(n_buckets):
+                    if 0 < len(buckets[b]) < min_size:
+                        members, buckets[b] = buckets[b], []
+                        for i in members:
+                            if not place(
+                                    i, b,
+                                    lambda l: min_size <= len(l) < capacity):
+                                if not place(
+                                        i, b,
+                                        lambda l: 0 < len(l) < capacity):
+                                    buckets[b].append(i)
+                        if not buckets[b]:
+                            changed = True
+                if not changed:
+                    break
+            return [b for b in buckets if b]
+
+        rng = np.random.default_rng(7)
+        for trial in range(12):
+            n = int(rng.integers(40, 1500))
+            nb = int(rng.integers(2, 30))
+            cap = int(rng.integers(3, 25))
+            mn = int(rng.integers(1, max(2, cap // 2)))
+            w = rng.lognormal(0, rng.uniform(0.3, 2.0), nb)
+            assign = rng.choice(nb, size=n, p=w / w.sum()).astype(np.int32)
+            own_d = rng.random(n).astype(np.float32)
+            top_pref = rng.integers(
+                0, nb, (n, int(rng.integers(1, 6)))).astype(np.int32)
+            ref = reference(assign, own_d, top_pref, nb, cap, mn)
+            got = sh._repair_buckets(assign, own_d, top_pref, nb, cap, mn)
+            assert got == ref, f"trial {trial}"
