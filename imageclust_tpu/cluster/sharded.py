@@ -1019,6 +1019,26 @@ def _spill_rounds(
     K_CAP = 4096
     k = 0  # set on the first round from the live cluster count
     n_c = cols.num
+    local = cols.bucket is not None and item_bucket_of is not None
+    table_d = None
+    if local and n_c and still:
+        # own-bucket candidate table, built ONCE for all rounds (cluster ->
+        # bucket is static during spill; only sizes/centroids change):
+        # row b lists bucket b's cluster ids, -1 padded to mc = max
+        # clusters per bucket. Covers every ITEM's bucket too: a bucket
+        # whose clusters all dropped has an all -1 row (no local
+        # candidates -> the later global pass).
+        bk = cols.bucket
+        nb_max = 1 + max(
+            int(bk.max()) if len(bk) else 0,
+            max(item_bucket_of[i] for i in still),
+        )
+        order_b = np.argsort(bk, kind="stable")
+        counts_b = np.bincount(bk, minlength=nb_max)
+        mc = max(1, int(counts_b.max()))
+        table = np.full((nb_max, mc), -1, np.int32)
+        table[bk[order_b], _ranges(counts_b)] = order_b
+        table_d = jnp.asarray(table)
     for _ in range(len(still) + 1):
         if n_c == 0 or not still:
             break
@@ -1038,29 +1058,15 @@ def _spill_rounds(
             break  # genuinely full everywhere
         assign = cols.assign_array(n)
         k = min(max(k, 8), n_c, K_CAP)
-        local = cols.bucket is not None and item_bucket_of is not None
         sizes_d = jnp.asarray(sizes)
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
         ms = jnp.int32(max_size)
         if local:
-            # own-bucket pass: candidates come from a (nb, mc) per-bucket
-            # cluster table instead of a c_pad-wide tile — the candidate
-            # SET is identical (same-bucket clusters with room), the cost
-            # is (chunk, mc, d) with mc ~ bucket_size/min_size
-            bk = cols.bucket
-            # cover every ITEM's bucket too: a bucket whose clusters all
-            # dropped has a -1 row (no local candidates -> global pass)
-            nb_max = 1 + max(
-                int(bk.max()) if len(bk) else 0,
-                max(item_bucket_of[i] for i in still),
-            )
-            order = np.argsort(bk, kind="stable")
-            counts_b = np.bincount(bk, minlength=nb_max)
-            mc = max(1, int(counts_b.max()))
-            table = np.full((nb_max, mc), -1, np.int32)
-            table[bk[order], _ranges(counts_b)] = order
-            table_d = jnp.asarray(table)
+            # own-bucket pass: candidates come from the precomputed
+            # (nb, mc) cluster table instead of a c_pad-wide tile — the
+            # candidate SET is identical (same-bucket clusters with room),
+            # the cost is (chunk, mc, d) with mc ~ bucket_size/min_size
             CHUNK = 1024
         else:
             # global pass: the padded width bounds the (chunk, c_pad)

@@ -658,3 +658,50 @@ class TestHostTailHelpers:
             ref = reference(assign, own_d, top_pref, nb, cap, mn)
             got = sh._repair_buckets(assign, own_d, top_pref, nb, cap, mn)
             assert got == ref, f"trial {trial}"
+
+
+class TestSpillCandidatesLocal:
+    def test_local_candidates_match_masked_global(self):
+        """_spill_candidates_local (gather only the item's own bucket's
+        cluster centroids) must surface the same candidate SET as the
+        retired mask-the-global-tile formulation: same-bucket clusters
+        with room, nearest first, -1 for invalid slots."""
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster import sharded as sh
+
+        rng = np.random.default_rng(3)
+        n, d, n_c, nb, k, max_size = 60, 5, 12, 4, 4, 7
+        feats = rng.normal(size=(n, d)).astype(np.float32)
+        cents = rng.normal(size=(n_c, d)).astype(np.float32)
+        sizes = rng.integers(1, max_size + 1, n_c).astype(np.int32)
+        cluster_bucket = rng.integers(0, nb, n_c).astype(np.int32)
+        drop = rng.choice(n, 8, replace=False).astype(np.int32)
+        item_bucket = rng.integers(0, nb, len(drop)).astype(np.int32)
+
+        order = np.argsort(cluster_bucket, kind="stable")
+        counts_b = np.bincount(cluster_bucket, minlength=nb)
+        mc = max(1, int(counts_b.max()))
+        table = np.full((nb, mc), -1, np.int32)
+        table[cluster_bucket[order], sh._ranges(counts_b)] = order
+
+        got = np.asarray(sh._spill_candidates_local(
+            jnp.asarray(feats), jnp.asarray(cents), jnp.asarray(sizes),
+            jnp.asarray(drop), jnp.asarray(item_bucket),
+            jnp.asarray(table), k, jnp.int32(max_size)))
+
+        for r, (i, bi) in enumerate(zip(drop, item_bucket)):
+            d2 = ((feats[i].astype(np.float64)
+                   - cents.astype(np.float64)) ** 2).sum(axis=1)
+            valid = (cluster_bucket == bi) & (sizes < max_size)
+            want = set(np.flatnonzero(valid).tolist())
+            got_row = [c for c in got[r] if c >= 0]
+            assert set(got_row) <= want
+            # nearest-first over the valid set, as many as fit in k slots
+            ranked = sorted(want, key=lambda c: d2[c])[:len(got_row)]
+            assert len(got_row) == min(len(want), min(k, mc))
+            got_d = [d2[c] for c in got_row]
+            assert got_d == sorted(got_d)
+            assert set(got_row) == set(ranked) or np.allclose(
+                sorted(d2[c] for c in got_row),
+                sorted(d2[c] for c in ranked))
