@@ -1132,7 +1132,13 @@ def _spill_bucket_local(
     still spill its members one by one into same-bucket clusters with room
     (``cols.bucket`` carries each cluster's bucket). Device-side candidate
     search restricted to each item's own bucket."""
-    bucket_of = {i: bi for bi, members in enumerate(buckets) for i in members}
+    # item -> bucket only for the DROPPED items: a dict comprehension over
+    # every bucket member was ~O(n) python at the 10M tier for a set that
+    # is usually orders of magnitude smaller
+    owner = np.empty(feats.shape[0], np.int32)
+    for bi, members in enumerate(buckets):
+        owner[members] = bi
+    bucket_of = {int(i): int(owner[i]) for i in dropped_idx}
     return _spill_rounds(feats, cols, dropped_idx, max_size,
                          item_bucket_of=bucket_of)
 
