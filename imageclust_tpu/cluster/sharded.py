@@ -649,18 +649,6 @@ def _repair_buckets(
     buckets: list[list[int]] = [
         s.tolist() for s in np.split(order, np.cumsum(counts0)[:-1])]
 
-    def place(i: int, avoid: int, pred) -> bool:
-        for nb in top_pref[i]:
-            nb = int(nb)
-            if nb != avoid and pred(buckets[nb]):
-                buckets[nb].append(i)
-                return True
-        for nb in range(n_buckets):  # preference list exhausted: any space
-            if nb != avoid and pred(buckets[nb]):
-                buckets[nb].append(i)
-                return True
-        return False
-
     # Spill overflow: keep the `capacity` closest items, re-home the rest.
     # The non-preferred fallback uses a monotone cursor instead of place()'s
     # from-zero scan: during this phase buckets only FILL (nothing empties),
@@ -779,22 +767,45 @@ def _repair_buckets(
     # refilling an emptied bucket would just recreate an under-min bucket
     # whose images get dropped later. Iterate to a fixpoint: a dissolve can
     # push another bucket to capacity but never creates new under-min ones.
+    #
+    # ``lens`` mirrors len(buckets[x]) so the preference-exhausted fallback
+    # is a C-speed boolean mask + argmax ("first bucket satisfying the
+    # predicate") instead of an O(n_buckets) python scan per item.
+    lens = np.fromiter((len(x) for x in buckets), np.int64, n_buckets)
+
+    def place(i: int, avoid: int, lo: int) -> bool:
+        # predicate: lo <= len(bucket) < capacity, bucket != avoid
+        for nb in top_pref[i]:
+            nb = int(nb)
+            if nb != avoid and lo <= lens[nb] < capacity:
+                buckets[nb].append(i)
+                lens[nb] += 1
+                return True
+        mask = (lens >= lo) & (lens < capacity)
+        mask[avoid] = False
+        nb = int(np.argmax(mask))
+        if mask[nb]:  # preference list exhausted: first bucket with space
+            buckets[nb].append(i)
+            lens[nb] += 1
+            return True
+        return False
+
     for _ in range(n_buckets):
         changed = False
         for b in range(n_buckets):
-            if 0 < len(buckets[b]) < min_size:
+            if 0 < lens[b] < min_size:
                 members, buckets[b] = buckets[b], []
+                lens[b] = 0
                 for i in members:
                     # prefer viable buckets; else any NONEMPTY bucket with
                     # space (consolidating two under-min buckets can lift
                     # one above min_size — the fixpoint loop re-checks);
                     # never refill an emptied bucket
-                    if not place(i, b,
-                                 lambda lst: min_size <= len(lst) < capacity):
-                        if not place(i, b,
-                                     lambda lst: 0 < len(lst) < capacity):
+                    if not place(i, b, min_size):
+                        if not place(i, b, 1):
                             buckets[b].append(i)  # nowhere viable: keep
-                if not buckets[b]:
+                            lens[b] += 1
+                if not lens[b]:
                     changed = True
         if not changed:
             break
