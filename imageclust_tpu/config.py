@@ -169,11 +169,19 @@ class LabelConfig:
     # (rekognition.go:21, :174-260).
     max_payload_bytes: int = 5 * 1024 * 1024
     cache: bool = True
-    # Scale applied to the one-hot label block before fusion. The reference
+    # Scale applied to the label block before fusion. The reference
     # concatenates raw 0/1 labels against 1000-d logits whose magnitudes
     # dominate the Ward distances (embeddings.go:177-183); weight > 1 makes
     # semantic labels actually influence clustering. 1.0 = reference parity.
     fusion_weight: float = 1.0
+    # How the label block is built: "onehot" = the reference's one-hot over
+    # the global label set (embeddings.go:166-183, parity default); "text" =
+    # BASELINE config 5's joint visual+text formulation — label NAMES
+    # embedded by the CLIP-style text tower, confidence-weighted per image
+    # (labels/text_fusion.py). Fixed width (text proj_dim) instead of one
+    # column per unique label; non-parity; meaningful geometry needs a real
+    # text checkpoint.
+    fusion: str = "onehot"
 
 
 @dataclass

@@ -5,6 +5,7 @@ from imageclust_tpu.labels.onehot import (
     label_vector,
     one_hot_matrix,
 )
+from imageclust_tpu.labels.text_fusion import text_label_matrix
 
 __all__ = [
     "CachedLabeler",
@@ -15,4 +16,5 @@ __all__ = [
     "combine_embeddings",
     "label_vector",
     "one_hot_matrix",
+    "text_label_matrix",
 ]

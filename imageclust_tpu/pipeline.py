@@ -85,6 +85,17 @@ class Pipeline:
         self.mesh = mesh
         self.embedder = embedder or create_embedder(self.config.embed, mesh)
         self.naming = create_naming_service(self.config.naming)
+        self._text_encoder = None  # lazy: only labels.fusion="text" pays
+
+    def _get_text_encoder(self):
+        """Text tower for dense label fusion (labels.fusion="text"), built
+        once per process like the image tower — label-name embeddings are
+        corpus-independent, so the jit cache and weights carry across jobs."""
+        if self._text_encoder is None:
+            from imageclust_tpu.models.text import TextEncoder
+
+            self._text_encoder = TextEncoder()
+        return self._text_encoder
 
     # ------------------------------------------------------------------
 
@@ -287,7 +298,17 @@ class Pipeline:
                 metrics.counters["unique_labels"] = len(label_set)
 
         with timer.stage("fuse"):
-            label_mat = one_hot_matrix(per_image_labels, label_set)
+            if cfg.labels.fusion == "text":
+                from imageclust_tpu.labels.text_fusion import text_label_matrix
+
+                label_mat = text_label_matrix(
+                    per_image_labels, label_set, self._get_text_encoder())
+            elif cfg.labels.fusion == "onehot":
+                label_mat = one_hot_matrix(per_image_labels, label_set)
+            else:  # fail loud: a typo must not silently change geometry
+                raise ValueError(
+                    f"unknown labels.fusion {cfg.labels.fusion!r} "
+                    "(expected 'onehot' or 'text')")
             if cfg.labels.fusion_weight != 1.0:
                 label_mat = label_mat * np.float32(cfg.labels.fusion_weight)
             if big_job:
