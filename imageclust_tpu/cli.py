@@ -212,7 +212,7 @@ def cmd_verify(args) -> int:
         ok, report = run_verify(
             onnx=args.onnx or None, clip=args.clip or None,
             bpe=args.bpe or None, images=args.images or None,
-            sample=args.sample,
+            sample=args.sample, clip_text=args.clip_text or None,
         )
     except Exception as exc:
         print(json.dumps({"ok": False, "error": str(exc)}, indent=2))
@@ -306,7 +306,10 @@ def main(argv: list[str] | None = None) -> int:
     p_verify.add_argument("--clip", default="",
                           help="CLIP vision checkpoint (.pt/.bin/.npz)")
     p_verify.add_argument("--bpe", default="",
-                          help="CLIP BPE merges file (with --clip)")
+                          help="CLIP BPE merges file (with --clip/--clip-text)")
+    p_verify.add_argument("--clip-text", default="", dest="clip_text",
+                          help="HF CLIPTextModel checkpoint (.pt/.bin/.npz) "
+                               "for the text-fusion / zero-shot tower")
     p_verify.add_argument("--images", default="",
                           help="real images for the fixture (default: "
                                "seeded synthetics)")

@@ -182,6 +182,12 @@ class LabelConfig:
     # column per unique label; non-parity; meaningful geometry needs a real
     # text checkpoint.
     fusion: str = "onehot"
+    # HuggingFace CLIPTextModel(WithProjection) checkpoint (.pt/.bin/.npz)
+    # for the fusion="text" tower; empty = deterministic random init (valid
+    # wiring, semantically inert — like the zero-shot demo bank). Pair with
+    # IMAGECLUST_BPE_PATH (or the conventional merges file) so token ids
+    # match the trained vocabulary.
+    text_checkpoint_path: str = ""
 
 
 @dataclass

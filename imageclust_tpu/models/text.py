@@ -7,9 +7,10 @@ space as the image tower's, so label banks for the zero-shot labeler
 and no AWS. The reference has no text-side model at all; its only semantic
 signal is the Rekognition one-hot (embeddings.go:166-174).
 
-Weights load from a HuggingFace CLIPTextModel torch checkpoint when one is
-present locally; the offline default is deterministic random init + a
-hashing tokenizer — structurally complete, useful for wiring and tests.
+Weights load from a HuggingFace CLIPTextModel torch checkpoint via
+:meth:`TextEncoder.from_checkpoint` / :func:`load_clip_text_torch`; the
+offline default is deterministic random init + a hashing tokenizer —
+structurally complete, useful for wiring and tests.
 """
 
 from __future__ import annotations
@@ -23,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TextConfig", "TextTransformer", "TextEncoder", "hash_tokenize"]
+__all__ = ["TextConfig", "TextTransformer", "TextEncoder", "hash_tokenize",
+           "load_clip_text_torch", "text_config_from_state_dict"]
 
 
 @dataclass(frozen=True)
@@ -114,6 +116,87 @@ class TextTransformer(nn.Module):
                         name="projection")(pooled.astype(jnp.float32))
 
 
+def text_config_from_state_dict(state_dict) -> TextConfig:
+    """Infer the tower dims from a HuggingFace CLIPTextModel(+projection)
+    state dict: vocab/width from the token embedding, context from the
+    position embedding, depth by counting encoder layers, proj_dim from
+    text_projection (width when absent). heads follows CLIP's width/64
+    convention (the only dim a state dict cannot encode)."""
+    sd = {k.replace("text_model.", ""): v for k, v in state_dict.items()}
+    tok = np.asarray(sd["embeddings.token_embedding.weight"])
+    pos = np.asarray(sd["embeddings.position_embedding.weight"])
+    depth = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("encoder.layers."))
+    proj = sd.get("text_projection.weight")
+    vocab, width = tok.shape
+    return TextConfig(
+        vocab=int(vocab), width=int(width), depth=depth,
+        heads=max(1, int(width) // 64),
+        proj_dim=int(np.asarray(proj).shape[0]) if proj is not None
+        else int(width),
+        context=int(pos.shape[0]),
+    )
+
+
+def load_clip_text_torch(state_dict, cfg: TextConfig, variables: dict) -> dict:
+    """Map a HuggingFace CLIPTextModel(+projection) torch state_dict onto
+    our parameter tree — the text-side twin of
+    :func:`imageclust_tpu.models.vit.load_clip_vision_torch`. Accepts
+    tensors or numpy arrays; raises ValueError on any missing/mismatched
+    tensor. When ``text_projection.weight`` is absent (a bare
+    CLIPTextModel), the random-init projection is kept."""
+    sd = {
+        k.replace("text_model.", ""): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    p: dict = {}
+
+    def put(path, arr, want_shape):
+        arr = np.asarray(arr, dtype=np.float32)
+        if tuple(arr.shape) != tuple(want_shape):
+            raise ValueError(f"{'/'.join(path)}: {arr.shape} != {want_shape}")
+        node = p
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = jnp.asarray(arr)
+
+    ref = variables["params"]
+    put(("token_embed", "embedding"),
+        sd["embeddings.token_embedding.weight"],
+        ref["token_embed"]["embedding"].shape)
+    put(("pos_embed",),
+        sd["embeddings.position_embedding.weight"][None],
+        ref["pos_embed"].shape)
+    for i in range(cfg.depth):
+        hf = f"encoder.layers.{i}"
+        blk = f"block{i}"
+        for ours, theirs in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+            put((blk, ours, "scale"), sd[f"{hf}.{theirs}.weight"],
+                ref[blk][ours]["scale"].shape)
+            put((blk, ours, "bias"), sd[f"{hf}.{theirs}.bias"],
+                ref[blk][ours]["bias"].shape)
+        lin = [
+            ("q", "self_attn.q_proj"), ("k", "self_attn.k_proj"),
+            ("v", "self_attn.v_proj"), ("proj", "self_attn.out_proj"),
+            ("mlp_up", "mlp.fc1"), ("mlp_down", "mlp.fc2"),
+        ]
+        for ours, theirs in lin:
+            put((blk, ours, "kernel"), sd[f"{hf}.{theirs}.weight"].T,
+                ref[blk][ours]["kernel"].shape)
+            put((blk, ours, "bias"), sd[f"{hf}.{theirs}.bias"],
+                ref[blk][ours]["bias"].shape)
+    put(("ln_final", "scale"), sd["final_layer_norm.weight"],
+        ref["ln_final"]["scale"].shape)
+    put(("ln_final", "bias"), sd["final_layer_norm.bias"],
+        ref["ln_final"]["bias"].shape)
+    if "text_projection.weight" in sd:
+        put(("projection", "kernel"), sd["text_projection.weight"].T,
+            ref["projection"]["kernel"].shape)
+    else:
+        p["projection"] = {"kernel": ref["projection"]["kernel"]}
+    return {"params": p}
+
+
 class TextEncoder:
     """Batched text embedding.
 
@@ -170,11 +253,48 @@ class TextEncoder:
                 # hash_tokenize's <end> is 2 (not the highest id)
                 self.cfg = dataclasses.replace(self.cfg, eot_id=2)
         self.model = TextTransformer(self.cfg)
+        self.weights_loaded = variables is not None  # provenance (cf. verify)
         if variables is None:
             dummy = jnp.zeros((1, self.cfg.context), jnp.int32)
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
         self.variables = variables
         self._fn = jax.jit(self.model.apply)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, bpe_path: str | None = None,
+                        cfg: TextConfig | None = None) -> "TextEncoder":
+        """Build the tower from a HuggingFace CLIPTextModel(WithProjection)
+        checkpoint — torch ``.pt``/``.bin`` or an ``.npz`` export — the
+        text-side twin of the registry's ``_load_vit_checkpoint``. Dims are
+        inferred from the state dict (:func:`text_config_from_state_dict`)
+        unless ``cfg`` overrides them. Pass the CLIP merges file as
+        ``bpe_path`` so token ids match the trained embedding table; the
+        hashing fallback produces ids the checkpoint never saw (warned)."""
+        if path.endswith(".npz"):
+            sd = dict(np.load(path))
+        else:
+            import torch
+
+            sd = {
+                k: v.numpy()
+                for k, v in torch.load(
+                    path, map_location="cpu", weights_only=True).items()
+            }
+        cfg = cfg or text_config_from_state_dict(sd)
+        model = TextTransformer(cfg)
+        dummy = jnp.zeros((1, cfg.context), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), dummy)
+        variables = load_clip_text_torch(sd, cfg, variables)
+        enc = cls(cfg, variables=variables, bpe_path=bpe_path)
+        if enc.tokenizer is None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "text checkpoint %s loaded with the HASHING tokenizer — "
+                "token ids will not match the trained vocabulary; pass the "
+                "CLIP merges file (bpe_path / IMAGECLUST_BPE_PATH) for "
+                "meaningful embeddings", path)
+        return enc
 
     def tokenize(self, text: str) -> np.ndarray:
         if self.tokenizer is not None:

@@ -94,7 +94,9 @@ class Pipeline:
         if self._text_encoder is None:
             from imageclust_tpu.models.text import TextEncoder
 
-            self._text_encoder = TextEncoder()
+            ckpt = self.config.labels.text_checkpoint_path
+            self._text_encoder = (
+                TextEncoder.from_checkpoint(ckpt) if ckpt else TextEncoder())
         return self._text_encoder
 
     # ------------------------------------------------------------------

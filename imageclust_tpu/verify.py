@@ -171,9 +171,37 @@ def verify_clip(clip_path: str, bpe_path: str | None = None) -> dict:
     return report
 
 
+def verify_clip_text(text_path: str, bpe_path: str | None = None) -> dict:
+    """Load-and-shape gate for a CLIPTextModel checkpoint (the
+    labels.fusion="text" / zero-shot-bank tower). Checks real ingestion
+    (weights_loaded provenance), finite embeddings, distinct outputs for
+    distinct texts, and — when a BPE file is given — that the tokenizer
+    actually adopted it (vocabulary ids match the trained table)."""
+    import os
+
+    from imageclust_tpu.models.text import TextEncoder
+
+    if not os.path.exists(text_path):
+        raise ValueError(f"text checkpoint not found: {text_path}")
+    report: dict = {"clip_text": text_path, "checks": {}}
+    enc = TextEncoder.from_checkpoint(text_path, bpe_path=bpe_path)
+    report["checks"]["ingested"] = bool(enc.weights_loaded)
+    report["checks"]["bpe_adopted"] = enc.tokenizer is not None
+    report["checks"]["vocab"] = int(enc.cfg.vocab)
+    vecs = enc.encode(["a photo of a cat", "a photo of a dog"])
+    report["checks"]["text_dim"] = int(vecs.shape[1])
+    report["checks"]["text_finite"] = bool(np.isfinite(vecs).all())
+    report["checks"]["distinct"] = not np.allclose(vecs[0], vecs[1])
+    report["ok"] = bool(
+        report["checks"]["ingested"] and report["checks"]["text_finite"]
+        and report["checks"]["distinct"]
+        and (enc.tokenizer is not None or not bpe_path))
+    return report
+
+
 def run_verify(onnx: str | None, clip: str | None = None,
                bpe: str | None = None, images: str | None = None,
-               sample: int = 8) -> tuple[bool, dict]:
+               sample: int = 8, clip_text: str | None = None) -> tuple[bool, dict]:
     """Drive every requested gate; returns (all_ok, combined report)."""
     combined: dict = {}
     ok = True
@@ -185,7 +213,12 @@ def run_verify(onnx: str | None, clip: str | None = None,
         r = verify_clip(clip, bpe_path=bpe)
         combined["clip"] = r
         ok = ok and r["ok"]
+    if clip_text:
+        r = verify_clip_text(clip_text, bpe_path=bpe)
+        combined["clip_text"] = r
+        ok = ok and r["ok"]
     if not combined:
-        raise ValueError("nothing to verify: pass --onnx and/or --clip")
+        raise ValueError(
+            "nothing to verify: pass --onnx, --clip and/or --clip-text")
     combined["ok"] = ok
     return ok, combined

@@ -91,3 +91,70 @@ class TestVerifyClip:
         report = verify_clip(str(p))
         assert report["checks"]["ingested"] is False
         assert report["ok"] is False
+
+
+class TestVerifyClipText:
+    def _npz(self, tmp_path):
+        """Synthesize an HF-layout CLIPTextModel npz from a toy tower (the
+        same inverse-mapping trick as the loader round-trip in
+        test_text.py)."""
+        import numpy as np
+
+        from imageclust_tpu.models.text import TextConfig, TextEncoder
+
+        cfg = TextConfig(vocab=96, width=64, depth=2, heads=1, proj_dim=12,
+                         context=10, eot_id=2)
+        src = TextEncoder(cfg)
+        params = src.variables["params"]
+        sd = {}
+        sd["text_model.embeddings.token_embedding.weight"] = np.asarray(
+            params["token_embed"]["embedding"])
+        sd["text_model.embeddings.position_embedding.weight"] = np.asarray(
+            params["pos_embed"])[0]
+        for i in range(cfg.depth):
+            blk = params[f"block{i}"]
+            hf = f"text_model.encoder.layers.{i}"
+            for ours, theirs in (("ln1", "layer_norm1"),
+                                 ("ln2", "layer_norm2")):
+                sd[f"{hf}.{theirs}.weight"] = np.asarray(blk[ours]["scale"])
+                sd[f"{hf}.{theirs}.bias"] = np.asarray(blk[ours]["bias"])
+            for ours, theirs in (
+                ("q", "self_attn.q_proj"), ("k", "self_attn.k_proj"),
+                ("v", "self_attn.v_proj"), ("proj", "self_attn.out_proj"),
+                ("mlp_up", "mlp.fc1"), ("mlp_down", "mlp.fc2"),
+            ):
+                sd[f"{hf}.{theirs}.weight"] = np.asarray(blk[ours]["kernel"]).T
+                sd[f"{hf}.{theirs}.bias"] = np.asarray(blk[ours]["bias"])
+        sd["text_model.final_layer_norm.weight"] = np.asarray(
+            params["ln_final"]["scale"])
+        sd["text_model.final_layer_norm.bias"] = np.asarray(
+            params["ln_final"]["bias"])
+        sd["text_projection.weight"] = np.asarray(
+            params["projection"]["kernel"]).T
+        path = str(tmp_path / "clip_text.npz")
+        np.savez(path, **sd)
+        return path
+
+    def test_roundtrip_passes(self, tmp_path):
+        from imageclust_tpu.verify import verify_clip_text
+
+        report = verify_clip_text(self._npz(tmp_path))
+        assert report["ok"], report
+        assert report["checks"]["ingested"]
+        assert report["checks"]["text_dim"] == 12
+        assert report["checks"]["distinct"]
+
+    def test_missing_checkpoint_raises(self):
+        import pytest
+
+        from imageclust_tpu.verify import verify_clip_text
+
+        with pytest.raises(ValueError, match="not found"):
+            verify_clip_text("/nonexistent/clip_text.pt")
+
+    def test_cli_flag(self, tmp_path, capsys):
+        from imageclust_tpu import cli
+
+        rc = cli.main(["verify", "--clip-text", self._npz(tmp_path)])
+        out = capsys.readouterr().out
+        assert rc == 0 and "VERDICT: PASS" in out
