@@ -123,7 +123,9 @@ def create_labeler(cfg, cache_dir: str | None = None, embedder=None) -> Labeler:
     elif backend == "zero_shot":
         from imageclust_tpu.labels.zero_shot import ZeroShotLabeler
 
-        inner = ZeroShotLabeler.default(embedder=embedder)
+        inner = ZeroShotLabeler.default(
+            embedder=embedder,
+            text_checkpoint=cfg.text_checkpoint_path or None)
     else:
         raise ValueError(f"unknown labeler backend {backend!r}")
     if cfg.cache and cache_dir:

@@ -52,12 +52,34 @@ class ZeroShotLabeler:
         return cls(names, bank, embedder)
 
     @classmethod
-    def default(cls, embedder, bank_path: str | None = None) -> "ZeroShotLabeler":
-        """Load a label bank from IMAGECLUST_LABEL_BANK (npz with 'names',
-        'vectors') or fall back to a random-projection demo bank."""
+    def default(cls, embedder, bank_path: str | None = None,
+                text_checkpoint: str | None = None) -> "ZeroShotLabeler":
+        """Build the bank by priority: an explicit npz bank
+        (IMAGECLUST_LABEL_BANK / ``bank_path``, from `imageclust bank`),
+        else a real text tower over the builtin vocabulary when
+        ``text_checkpoint`` (labels.text_checkpoint_path) is set — with
+        MATCHED image/text CLIP checkpoints that makes open-vocabulary
+        labels semantically live with no extra steps — else the inert
+        random demo bank."""
         bank_path = bank_path or os.environ.get("IMAGECLUST_LABEL_BANK", "")
         if embedder is None:
             raise ValueError("zero_shot labeler needs an embedder")
+        if not (bank_path and os.path.exists(bank_path)) and text_checkpoint:
+            from imageclust_tpu.labels.fake import _VOCAB
+            from imageclust_tpu.models.text import TextEncoder
+
+            enc = TextEncoder.from_checkpoint(text_checkpoint)
+            labeler = cls.from_texts(list(_VOCAB), embedder,
+                                     text_encoder=enc)
+            if labeler.bank.shape[1] != embedder.spec.dim:
+                # cosine against image embeddings needs a shared space —
+                # a CLIP text tower cannot pair with e.g. 1000-d logits
+                raise ValueError(
+                    f"text tower dim {labeler.bank.shape[1]} != embedder "
+                    f"dim {embedder.spec.dim}; zero-shot needs matched "
+                    "image/text checkpoints (e.g. the two halves of one "
+                    "CLIP model)")
+            return labeler
         if bank_path and os.path.exists(bank_path):
             # allow_pickle stays False: `imageclust bank` writes plain
             # string/float arrays, and a tampered npz must not execute code.

@@ -151,3 +151,83 @@ class TestBankFlow:
         data = np.load(out, allow_pickle=False)
         assert list(data["names"]) == ["alpha", "beta"]
         assert data["vectors"].shape == (2, 1000)
+
+
+class TestDefaultWithTextCheckpoint:
+    def _text_npz(self, tmp_path, proj_dim):
+        import numpy as np
+
+        from imageclust_tpu.models.text import TextConfig, TextEncoder
+
+        cfg = TextConfig(vocab=96, width=64, depth=1, heads=1,
+                         proj_dim=proj_dim, context=10, eot_id=2)
+        src = TextEncoder(cfg)
+        p = src.variables["params"]
+        sd = {
+            "text_model.embeddings.token_embedding.weight":
+                np.asarray(p["token_embed"]["embedding"]),
+            "text_model.embeddings.position_embedding.weight":
+                np.asarray(p["pos_embed"])[0],
+            "text_model.final_layer_norm.weight":
+                np.asarray(p["ln_final"]["scale"]),
+            "text_model.final_layer_norm.bias":
+                np.asarray(p["ln_final"]["bias"]),
+            "text_projection.weight":
+                np.asarray(p["projection"]["kernel"]).T,
+        }
+        blk = p["block0"]
+        hf = "text_model.encoder.layers.0"
+        for o, t in (("ln1", "layer_norm1"), ("ln2", "layer_norm2")):
+            sd[f"{hf}.{t}.weight"] = np.asarray(blk[o]["scale"])
+            sd[f"{hf}.{t}.bias"] = np.asarray(blk[o]["bias"])
+        for o, t in (("q", "self_attn.q_proj"), ("k", "self_attn.k_proj"),
+                     ("v", "self_attn.v_proj"), ("proj", "self_attn.out_proj"),
+                     ("mlp_up", "mlp.fc1"), ("mlp_down", "mlp.fc2")):
+            sd[f"{hf}.{t}.weight"] = np.asarray(blk[o]["kernel"]).T
+            sd[f"{hf}.{t}.bias"] = np.asarray(blk[o]["bias"])
+        path = str(tmp_path / f"text_{proj_dim}.npz")
+        np.savez(path, **sd)
+        return path
+
+    def test_bank_built_from_real_tower(self, tmp_path, monkeypatch):
+        from helpers import MeanColorEmbedder
+
+        monkeypatch.delenv("IMAGECLUST_LABEL_BANK", raising=False)
+        emb = MeanColorEmbedder()  # dim 6
+        labeler = ZeroShotLabeler.default(
+            emb, text_checkpoint=self._text_npz(tmp_path, proj_dim=6))
+        from imageclust_tpu.labels.fake import _VOCAB
+
+        assert labeler.bank.shape == (len(_VOCAB), 6)
+        # rows are l2-normalized and distinct (a real forward, not the
+        # demo's random projection)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            np.linalg.norm(labeler.bank, axis=1),
+            np.ones(len(_VOCAB)), rtol=1e-5)
+
+    def test_dim_mismatch_fails_loud(self, tmp_path, monkeypatch):
+        import pytest
+
+        from helpers import MeanColorEmbedder
+
+        monkeypatch.delenv("IMAGECLUST_LABEL_BANK", raising=False)
+        with pytest.raises(ValueError, match="matched image/text"):
+            ZeroShotLabeler.default(
+                MeanColorEmbedder(),
+                text_checkpoint=self._text_npz(tmp_path, proj_dim=8))
+
+    def test_explicit_bank_still_wins(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from helpers import MeanColorEmbedder
+
+        bank = str(tmp_path / "bank.npz")
+        np.savez(bank, names=np.array(["A", "B"]),
+                 vectors=np.ones((2, 6), np.float32))
+        monkeypatch.setenv("IMAGECLUST_LABEL_BANK", bank)
+        labeler = ZeroShotLabeler.default(
+            MeanColorEmbedder(),
+            text_checkpoint=self._text_npz(tmp_path, proj_dim=6))
+        assert labeler.names == ["A", "B"]
