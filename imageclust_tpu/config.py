@@ -138,11 +138,12 @@ class EmbedConfig:
     # to 4x4/1 over 12 s2d channels with 1/255 + BGR flip folded in —
     # mathematically identical, ~25% faster stem on the MXU.
     s2d_stem: bool = True
-    # "" (full precision) or "int8": post-training-quantized serving tower
-    # (resnet50 only) — BN-folded per-channel int8 weights, calibrated
-    # activation scales, int32 MXU accumulation. NOT bit-parity with the
-    # f32 tower: embeddings shift within quantization error (tests pin
-    # cosine > 0.99 on the pooled features); cache tags include it.
+    # "" (full precision) or "int8": post-training-quantized serving tower —
+    # per-channel int8 weights (BN-folded for resnet50; every encoder Dense
+    # for the ViT/SigLIP towers), calibrated activation scales, int32 MXU
+    # accumulation. NOT bit-parity with the f32 tower: embeddings shift
+    # within quantization error (tests pin cosine on random init); cache
+    # tags include it.
     quantize: str = ""
     # Activation-scale statistic for int8 calibration: "absmax" (no
     # clipping inside the calibration sample) or "p999" (clip the top 0.1%

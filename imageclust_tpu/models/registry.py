@@ -241,6 +241,28 @@ class Embedder:
         return np.asarray(self._jitted[fn_key](self.variables, jnp.asarray(blob)))
 
 
+def _calib_batch(size: int, weights_loaded: bool) -> np.ndarray:
+    """int8 calibration batch: the IMAGECLUST_CALIB_NPY uint8 sample when
+    set, else synthetic uniform noise — with no pretrained weights in this
+    environment the activations are random-init statistics either way.
+    Production: point IMAGECLUST_CALIB_NPY at a (B, size, size, 3) uint8
+    BGR sample of the corpus (warned when real weights calibrate on
+    noise)."""
+    calib_path = os.environ.get("IMAGECLUST_CALIB_NPY", "")
+    if calib_path and os.path.exists(calib_path):
+        return np.load(calib_path)[:32]
+    if weights_loaded:
+        log.warning(
+            "int8 calibration is running on SYNTHETIC uniform-noise images "
+            "against real (non-random-init) weights — the activation scales "
+            "will not reflect real data and may clip; set "
+            "IMAGECLUST_CALIB_NPY to a (B,%d,%d,3) uint8 sample of your "
+            "corpus", size, size,
+        )
+    return np.random.default_rng(0).integers(
+        0, 256, (8, size, size, 3), np.uint8)
+
+
 def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
     from imageclust_tpu.models.resnet50 import ResNet50V1, load_onnx_params
 
@@ -276,25 +298,9 @@ def _build_resnet50(cfg: EmbedConfig, rng_seed: int = 0):
             quantize_resnet50,
         )
 
-        # Calibration batch: synthetic normalized images by default — with
-        # no pretrained weights in this environment the activations are
-        # random-init statistics either way. Production: point
-        # IMAGECLUST_CALIB_NPY at a real (B, 224, 224, 3) uint8 sample.
-        calib_path = os.environ.get("IMAGECLUST_CALIB_NPY", "")
-        if calib_path and os.path.exists(calib_path):
-            calib_u8 = np.load(calib_path)[:32]
-        else:
-            if weights_loaded:
-                log.warning(
-                    "int8 calibration is running on SYNTHETIC uniform-noise "
-                    "images against real (non-random-init) weights — the "
-                    "activation scales will not reflect real data and may "
-                    "clip; set IMAGECLUST_CALIB_NPY to a (B,224,224,3) "
-                    "uint8 sample of your corpus"
-                )
-            calib_u8 = np.random.default_rng(0).integers(
-                0, 256, (8, 224, 224, 3), np.uint8)
-        calib = calib_u8.astype(np.float32)[..., ::-1] / 255.0  # BGR->RGB
+        # reference preprocessing: raw 1/255 pixels, no mean/std
+        calib = _calib_batch(224, weights_loaded).astype(
+            np.float32)[..., ::-1] / 255.0  # BGR->RGB
         qparams = quantize_resnet50(variables, calib,
                                     calib_method=cfg.calib_method)
 
@@ -382,6 +388,26 @@ def _build_vit(name: str, cfg: EmbedConfig, rng_seed: int = 0):
         std=vcfg.std,
         bgr_input=True,
     )
+
+    if cfg.quantize == "int8":
+        from imageclust_tpu.models.quantize_vit import (
+            quantize_vit,
+            vit_quant_apply,
+        )
+
+        # same normalization _embed_fn applies before the tower
+        calib = _calib_batch(vcfg.image_size, weights_loaded).astype(
+            np.float32)[..., ::-1] / 255.0  # BGR->RGB
+        calib = ((calib - np.asarray(vcfg.mean, np.float32))
+                 / np.asarray(vcfg.std, np.float32))
+        qparams = quantize_vit(variables, vcfg, calib,
+                               calib_method=cfg.calib_method)
+
+        def q_apply_fn(vars_, x):
+            return vit_quant_apply(vars_, x, vcfg)
+
+        return spec, q_apply_fn, qparams, weights_loaded
+
     return spec, apply_fn, variables, weights_loaded
 
 
@@ -432,8 +458,6 @@ def create_embedder(
     cfg = cfg or EmbedConfig()
     if cfg.quantize not in ("", "int8"):
         raise ValueError(f"unknown quantize mode {cfg.quantize!r}")
-    if cfg.quantize and cfg.model != "resnet50":
-        raise ValueError("quantize='int8' is supported for resnet50 only")
     raw_apply_fn = None
     if cfg.model == "resnet50":
         spec, apply_fn, variables, raw_apply_fn, loaded = _build_resnet50(

@@ -143,12 +143,6 @@ class TestRegistryIntegration:
         assert out.shape == (4, 2048)
         assert np.isfinite(out).all()
 
-    def test_quantize_rejected_for_vit(self):
-        from imageclust_tpu.models.registry import create_embedder
-
-        with pytest.raises(ValueError, match="resnet50 only"):
-            create_embedder(EmbedConfig(model="vit_b32", quantize="int8"))
-
     def test_unknown_mode_rejected(self):
         from imageclust_tpu.models.registry import create_embedder
 
