@@ -299,6 +299,47 @@ def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 1 << 30,
     return buf
 
 
+def bench_embed_only(model: str, batch_size: int, n_images: int,
+                     quantize: str = "") -> dict:
+    """Warm steady-state embed throughput of ONE tower (any registry model,
+    optionally int8) — the per-tower img/s ladder in BASELINE.md, as one
+    command. Synthetic uint8 batches at the tower's input size; device sync
+    via np.asarray (block_until_ready is unreliable on this transport)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageclust_tpu.config import EmbedConfig
+    from imageclust_tpu.models.registry import create_embedder
+
+    _enable_compile_cache()
+    _log(f"devices: {jax.devices()}")
+    embedder = create_embedder(
+        EmbedConfig(model=model, batch_size=batch_size, quantize=quantize))
+    bs = embedder.batch_size
+    s = embedder.spec.input_size
+    fwd = embedder._embed_fn(resize=False)
+    batch = jax.random.randint(
+        jax.random.PRNGKey(0), (bs, s, s, 3), 0, 256, jnp.uint8)
+    np.asarray(fwd(embedder.variables, batch))  # compile + warm
+    n_batches = max(1, n_images // bs)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n_batches):
+        out = fwd(embedder.variables, batch)
+    np.asarray(out)
+    dt = time.perf_counter() - t0
+    ips = n_batches * bs / dt
+    q = f"+{quantize}" if quantize else ""
+    return {
+        "metric": f"embed_img_per_s[{model}{q} b{bs}]",
+        "value": round(ips, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(ips / 1.0, 1),  # reference: serialized CPU
+        "detail": {"model": model, "batch": bs, "quantize": quantize,
+                   "batches": n_batches, "wall_s": round(dt, 3)},
+    }
+
+
 def bench_cluster_only(n: int, d: int, bucket_size: int,
                        engine: str = "auto",
                        feature_dtype: str = "float32") -> dict:
@@ -368,6 +409,10 @@ def main() -> int:
                         help="cache dir for generated benchmark JPEGs")
     parser.add_argument("--cluster-only", action="store_true",
                         help="benchmark constrained Ward alone")
+    parser.add_argument("--embed-only", action="store_true",
+                        help="benchmark one tower's warm embed throughput")
+    parser.add_argument("--model", default="resnet50",
+                        help="tower for --embed-only (any registry model)")
     parser.add_argument("--d", type=int, default=64,
                         help="feature dim for --cluster-only")
     parser.add_argument("--quantize", default="", choices=["", "int8"],
@@ -393,6 +438,9 @@ def main() -> int:
     elif args.cluster_only:
         result = bench_cluster_only(args.n, args.d, args.bucket, args.engine,
                                     args.feature_dtype)
+    elif args.embed_only:
+        result = bench_embed_only(args.model, args.batch, args.n,
+                                  args.quantize)
     else:
         result = bench_e2e(args.n, args.batch, args.bucket, args.quantize)
     detail = result.pop("detail")

@@ -50,3 +50,13 @@ def test_synth_features_block_path_bf16():
     assert x.dtype == jnp.bfloat16 and x.shape == (64, 8)
     a = np.asarray(x, dtype=np.float32)
     assert not np.any(np.all(a == 0.0, axis=1))
+
+
+def test_embed_only_mode():
+    """bench --embed-only: one-command per-tower throughput (any registry
+    model + quantize), JSON contract preserved."""
+    result = bench.bench_embed_only("resnet50", batch_size=8, n_images=16)
+    assert result["unit"] == "img/s/chip"
+    assert result["value"] > 0
+    assert result["detail"]["model"] == "resnet50"
+    assert "embed_img_per_s[resnet50 b8]" == result["metric"]
