@@ -127,3 +127,18 @@ class TestRegistryIntegration:
         out = emb.embed(imgs)
         assert out.shape == (4, 512)
         assert np.isfinite(out).all()
+
+    def test_int8_embedder_on_dp_mesh(self, mesh8):
+        """int8 qparams (int8 leaves in the variables pytree) must survive
+        the DP-sharded embed executor — the one composition the single-
+        device tests don't cover."""
+        from imageclust_tpu.models.registry import create_embedder
+
+        emb = create_embedder(
+            EmbedConfig(model="vit_b32", quantize="int8", batch_size=8,
+                        onnx_path=""),
+            mesh=mesh8)
+        imgs = np.random.default_rng(2).integers(
+            0, 255, (8, 224, 224, 3), np.uint8)
+        out = emb.embed(imgs)
+        assert out.shape == (8, 512) and np.isfinite(out).all()
