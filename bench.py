@@ -279,14 +279,22 @@ def _synth_features(n: int, d: int, dt, *, one_shot_elems: int = 1 << 30,
     import jax
     import jax.numpy as jnp
 
+    def draw(key, shape):
+        if dt == jnp.int8:
+            # gaussian on the int8 grid (sigma ~36 = absmax/3.5 scaling),
+            # matching what _feat_int8 produces from gaussian features
+            g = jax.random.normal(key, shape, jnp.float32) * (127.0 / 3.5)
+            return jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8)
+        return jax.random.normal(key, shape, dt)
+
     if n * d <= one_shot_elems:  # one-shot transients are fine to ~8 GB
-        return jax.random.normal(jax.random.PRNGKey(0), (n, d), dt)
+        return draw(jax.random.PRNGKey(0), (n, d))
 
     block = min(n, max(1, block_elems // max(d, 1)))
 
     @functools.partial(jax.jit, donate_argnums=0)
     def fill(buf, key, start):
-        rows = jax.random.normal(key, (block, d), dt)
+        rows = draw(key, (block, d))
         return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
 
     buf = jnp.zeros((n, d), dt)
@@ -357,7 +365,8 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
     _enable_compile_cache()
     # generate directly in the residency dtype: keeping an f32 original
     # alive next to the bf16 working copy would waste n*d*4 bytes of HBM
-    gen_dt = jnp.bfloat16 if feature_dtype == "bfloat16" else jnp.float32
+    gen_dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+              "int8": jnp.int8}[feature_dtype]
     feats = _synth_features(n, d, gen_dt)
 
     def run():
@@ -420,10 +429,11 @@ def main() -> int:
                              "(int8: +15-17%% embed throughput, non-parity "
                              "embeddings)")
     parser.add_argument("--feature-dtype", default="float32",
-                        choices=["float32", "bfloat16"],
+                        choices=["float32", "bfloat16", "int8"],
                         help="bucketed-engine feature residency dtype for "
                              "--cluster-only (bfloat16 doubles the "
-                             "single-chip capacity envelope; non-parity)")
+                             "single-chip capacity envelope, int8 doubles "
+                             "it again; non-parity)")
     parser.add_argument("--engine", default="auto",
                         choices=["auto", "bucketed", "chain"],
                         help="cluster engine for --cluster-only")

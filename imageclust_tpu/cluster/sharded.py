@@ -105,18 +105,33 @@ def _sqdist_tile(rows: jax.Array, cents: jax.Array) -> jax.Array:
     For bf16-resident features the gram runs with native bf16 MXU inputs
     (centroids rounded to bf16; norms taken from the same rounded values so
     the quadratic expansion stays consistent) — ~4x over upcasting to f32
-    matmuls, in the mode already documented as non-parity near ties. f32
-    features keep the exact f32 path."""
-    if rows.dtype == jnp.bfloat16:
+    matmuls, in the mode already documented as non-parity near ties. int8
+    rows take the same path (int8 -> bf16 is EXACT: |v| <= 127); only the
+    centroid rounding is approximate. f32 features keep the exact f32
+    path."""
+    if rows.dtype in (jnp.bfloat16, jnp.int8):
+        r16 = rows.astype(jnp.bfloat16)
         c16 = cents.astype(jnp.bfloat16)
-        xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
+        xx = jnp.sum(jnp.square(r16.astype(jnp.float32)), axis=1)[:, None]
         yy = jnp.sum(jnp.square(c16.astype(jnp.float32)), axis=1)[None, :]
         g = jax.lax.dot_general(
-            rows, c16, dimension_numbers=(((1,), (1,)), ((), ())),
+            r16, c16, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return jnp.maximum(xx + yy - 2.0 * g, 0.0)
     return _sqdist(rows, cents)
+
+
+@jax.jit
+def _feat_int8(x: jax.Array) -> jax.Array:
+    """One-time symmetric per-tensor int8 quantization of the feature
+    matrix (scale = absmax/127). The scale itself is DISCARDED: Ward merge
+    order is invariant to a global feature scale, so the engine clusters
+    the raw grid values. Fuses to two streamed passes (abs-max reduction,
+    then round/clip/cast) — no f32 copy materializes."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(s, 1e-30))
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -132,7 +147,7 @@ def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
     n_real, d = x.shape
     n_blocks = (n_real // block)
     tail, tail_valid = _kmeans_tail(x, block)
-    acc_dt = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    acc_dt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
     def accum(carry, rows, valid):
         sums, counts = carry
@@ -140,11 +155,12 @@ def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
         assign = jnp.argmin(d2, axis=1)
         # 0/1 one-hot is exact in bf16; bf16 x bf16 MXU products are exact
         # in the f32 accumulator, so acc_dt only changes speed, not values
+        # (int8 rows cast to bf16 exactly: |v| <= 127)
         onehot = jax.nn.one_hot(assign, k, dtype=acc_dt)
         onehot = onehot * valid[:, None].astype(acc_dt)
         counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
         sums = sums + jax.lax.dot_general(
-            onehot, rows,
+            onehot, rows.astype(acc_dt),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -831,7 +847,7 @@ def _spill_centroids(feats, assign, sizes, c_pad):
     at a time — every slab streams the full matrix, but that is ~0.1 s/pass
     of bandwidth vs an (c_pad+1, d) f32 accumulator that cannot fit."""
     seg = jnp.where(assign >= 0, assign, c_pad)
-    if feats.dtype == jnp.bfloat16:
+    if feats.dtype != jnp.float32:  # bf16 or int8 residency
         n, d = feats.shape
         block = min(1 << 16, 1 << max(n - 1, 1).bit_length())
         n_main = (n // block) * block
@@ -890,6 +906,8 @@ def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
     plus its top_k temps exhausted the chip). Returns GLOBAL cluster ids,
     -1 where invalid."""
     dx = feats[drop_idx]                       # (chunk, d), native dtype
+    if dx.dtype == jnp.int8:
+        dx = dx.astype(jnp.bfloat16)  # exact; keeps the einsum homogeneous
     cl = bucket_clusters[item_bucket]          # (chunk, mc), -1 padded
     safe = jnp.maximum(cl, 0)
     cc = cents[safe]                           # (chunk, mc, d)
@@ -1292,16 +1310,30 @@ def constrained_ward_bucketed(
     rounding of inputs to bf16 differs. Like int8 serving, this is a
     precision-caveated NON-parity mode: distances shift within bf16
     rounding, so assignments can differ near ties.
+
+    ``feature_dtype="int8"`` halves residency AGAIN (~4e9 feature elements
+    per chip — 10M x 1024, the full CLIP joint visual+text width): inputs
+    are quantized ONCE to a symmetric per-tensor int8 grid
+    (scale = absmax/127) and the engine clusters the raw grid values —
+    Ward's merge order is invariant to a global scale, so no scale
+    threads through the math, and int8 -> bf16/f32 tile casts are exact.
+    The precision caveat is the quantization itself (features round to 8
+    bits, like ``embed.quantize=int8``); pass an int8 array to skip the
+    internal quantization (values are used as-is).
     """
-    dt = jnp.bfloat16 if feature_dtype == "bfloat16" else jnp.float32
-    if feature_dtype not in ("float32", "bfloat16"):
+    if feature_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
-    if isinstance(embeddings, jax.Array):
-        feats = embeddings.astype(dt)
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+          "int8": jnp.int8}[feature_dtype]
+    if not isinstance(embeddings, jax.Array):
+        arr = np.asarray(embeddings)
+        if arr.dtype != np.int8:
+            arr = np.asarray(arr, np.float32)
+        embeddings = jnp.asarray(arr)
+    if dt == jnp.int8 and embeddings.dtype != jnp.int8:
+        feats = _feat_int8(embeddings)
     else:
-        feats = jnp.asarray(np.asarray(embeddings, dtype=np.float32))
-        if dt != jnp.float32:
-            feats = feats.astype(dt)
+        feats = embeddings.astype(dt)
     n, d = feats.shape
     if ids is None:
         ids = [f"img_{i}" for i in range(n)]
@@ -1317,7 +1349,8 @@ def constrained_ward_bucketed(
         from imageclust_tpu.cluster.ward import constrained_ward
 
         return constrained_ward(
-            np.asarray(feats), ids, min_size=min_size, max_size=max_size,
+            np.asarray(feats, dtype=np.float32),  # int8 grid values: exact
+            ids, min_size=min_size, max_size=max_size,
             update_rule=update_rule, reassign_dropped=reassign_dropped,
             mesh=mesh,
         )

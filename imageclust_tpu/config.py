@@ -79,10 +79,14 @@ class ClusterConfig:
     # Ward-nearest neighbor (bounded by max_size) instead of dropping them.
     scale_reassign_dropped: bool = True
     # Residency dtype of the bucketed engine's feature matrix: "float32"
-    # (default) or "bfloat16" (HALF the HBM — the single-chip envelope
+    # (default), "bfloat16" (HALF the HBM — the single-chip envelope
     # doubles to ~2e9 feature floats, e.g. 1.5M x 1000; arithmetic still
-    # accumulates f32). bfloat16 is a precision-caveated NON-parity mode
-    # like embed.quantize=int8: assignments can shift near distance ties.
+    # accumulates f32), or "int8" (half AGAIN, ~4e9 elements — 10M x 1024,
+    # the full CLIP joint visual+text width; features quantize once to a
+    # symmetric grid whose scale cancels out of the Ward merge order).
+    # bfloat16/int8 are precision-caveated NON-parity modes like
+    # embed.quantize=int8: assignments can shift near distance ties (int8
+    # additionally rounds the features themselves to 8 bits).
     feature_dtype: str = "float32"
 
 

@@ -705,3 +705,86 @@ class TestSpillCandidatesLocal:
             assert set(got_row) == set(ranked) or np.allclose(
                 sorted(d2[c] for c in got_row),
                 sorted(d2[c] for c in ranked))
+
+
+class TestInt8Residency:
+    """feature_dtype="int8": features quantize once to a symmetric grid
+    whose global scale cancels out of Ward's merge order (sharded.py
+    _feat_int8) — capacity doubles again over bf16. On well-separated data
+    the partition must not move; on the grid itself the engine must be
+    scale-transparent (pre-quantized int8 in == internal quantization)."""
+
+    def test_matches_f32_on_separated_blobs(self, rng, blobs):
+        x = blobs(rng, n_blobs=24, per_blob=4, d=16)
+        ids = [f"i{k}" for k in range(len(x))]
+        f32 = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64)
+        i8 = constrained_ward_bucketed(
+            x, ids, min_size=3, max_size=6, bucket_size=64,
+            feature_dtype="int8")
+        assert ({frozenset(m) for m in i8.cluster_map.values()}
+                == {frozenset(m) for m in f32.cluster_map.values()})
+        assert i8.dropped == f32.dropped
+
+    def test_pre_quantized_input_is_passthrough(self, rng, blobs):
+        import jax.numpy as jnp
+
+        x = blobs(rng, n_blobs=12, per_blob=4, d=8).astype(np.float32)
+        import imageclust_tpu.cluster.sharded as sh
+
+        q = np.asarray(sh._feat_int8(jnp.asarray(x)))
+        assert q.dtype == np.int8
+        a = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=32, feature_dtype="int8")
+        b = constrained_ward_bucketed(
+            q, min_size=3, max_size=6, bucket_size=32, feature_dtype="int8")
+        assert ({frozenset(m) for m in a.cluster_map.values()}
+                == {frozenset(m) for m in b.cluster_map.values()})
+
+    def test_quantizer_grid(self):
+        import jax.numpy as jnp
+        import imageclust_tpu.cluster.sharded as sh
+
+        x = np.array([[0.0, 1.0], [-2.0, 0.5]], np.float32)
+        q = np.asarray(sh._feat_int8(jnp.asarray(x)))
+        # absmax 2.0 -> scale 2/127; values round to the grid
+        np.testing.assert_array_equal(
+            q, np.array([[0, 64], [-127, 32]], np.int8))
+
+    def test_no_loss_and_bounds(self, rng):
+        x = rng.normal(size=(400, 16)).astype(np.float32)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=64, feature_dtype="int8")
+        placed = sum(len(m) for m in res.cluster_map.values())
+        assert placed + len(res.dropped) == 400
+        assert len(res.dropped) == 0
+        for members in res.cluster_map.values():
+            assert 3 <= len(members) <= 6
+
+    def test_exact_fallback_single_bucket(self, rng, blobs):
+        # n small enough for one bucket: the exact engine gets f32-cast
+        # grid values
+        x = blobs(rng, n_blobs=4, per_blob=4, d=8)
+        res = constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=256,
+            feature_dtype="int8")
+        assert sum(len(m) for m in res.cluster_map.values()) == len(x)
+
+    def test_spill_centroids_int8_slab_path(self):
+        import jax.numpy as jnp
+        import imageclust_tpu.cluster.sharded as sh
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(-127, 128, (50, 8)).astype(np.int8)
+        assign = rng.integers(-1, 6, 50).astype(np.int32)  # -1 = dump
+        sizes = np.bincount(assign[assign >= 0], minlength=8).astype(np.int32)
+        cents = np.asarray(sh._spill_centroids(
+            jnp.asarray(x), jnp.asarray(assign), jnp.asarray(sizes), 8))
+        # int8 routes through the slab path -> bf16 centroids
+        assert cents.dtype == np.float32 or str(cents.dtype) == "bfloat16"
+        for c in range(6):
+            m = assign == c
+            if m.any():
+                want = x[m].astype(np.float64).mean(0)
+                got = cents[c].astype(np.float64)
+                np.testing.assert_allclose(got, want, rtol=2e-2, atol=0.5)
