@@ -138,14 +138,17 @@ class ZeroShotLabeler:
 
         @jax.jit
         def topk(embs, bank):
+            # cast INSIDE jit: bf16/int8 residency embeddings (streamed
+            # big jobs) upcast tile-wise into the fused norm/matmul instead
+            # of materializing an (n, d) f32 copy next to the originals
+            embs = embs.astype(jnp.float32)
             norms = jnp.linalg.norm(embs, axis=1, keepdims=True)
             sims = (embs / jnp.maximum(norms, 1e-8)) @ bank.T
             conf = (sims + 1.0) * 50.0
             vals, idx = jax.lax.top_k(conf, k)
             return vals, idx
 
-        vals, idx = topk(jnp.asarray(embeddings, jnp.float32),
-                         jnp.asarray(self.bank))
+        vals, idx = topk(jnp.asarray(embeddings), jnp.asarray(self.bank))
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         return [

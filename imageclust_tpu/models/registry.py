@@ -231,6 +231,68 @@ class Embedder:
             return jnp.zeros((0, self.spec.dim), jnp.float32)
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
+    def embed_stream_quantized(self, chunks, inflight: int = 4,
+                               out_dtype=None, margin: float = 1.25):
+        """:meth:`embed_stream` with each chunk cast to a RESIDENCY dtype
+        before it accumulates in HBM — the f32 matrix never exists, so the
+        bf16/int8 cluster capacity tiers are reachable through the real
+        streamed pipeline, not just synthetic benches.
+
+        ``out_dtype`` bfloat16: plain per-chunk rounding. int8: symmetric
+        grid with the scale calibrated on the FIRST chunk
+        (absmax * ``margin`` / 127; embeddings from one model are
+        range-stable across chunks — later outliers clip, same compromise
+        as int8 activation calibration). Returns ``(array, scale)``;
+        ``scale`` is 1.0 unless int8 — divide any block concatenated onto
+        these features (e.g. label fusion) by it so relative geometry
+        matches the f32 pipeline."""
+        import jax
+        import jax.numpy as jnp
+
+        if out_dtype is None or out_dtype == jnp.float32:
+            return self.embed_stream(chunks, inflight), 1.0
+        if out_dtype == jnp.bfloat16:
+            def cast(e, _):
+                return e.astype(jnp.bfloat16)
+        elif out_dtype == jnp.int8:
+            @jax.jit
+            def cast(e, s):
+                q = jnp.round(e.astype(jnp.float32) / s)
+                return jnp.clip(q, -127, 127).astype(jnp.int8)
+        else:
+            raise ValueError(f"unsupported residency dtype {out_dtype}")
+
+        fn = self._embed_fn(resize=False)
+        bs = self.batch_size
+        if self.mesh is not None:
+            ndev = self.mesh.shape["data"]
+            bs = max(ndev, (bs // ndev) * ndev)
+        outs: list[jax.Array] = []
+        scale = 1.0
+        expect = (self.spec.input_size, self.spec.input_size, 3)
+        for chunk in chunks:
+            chunk = np.asarray(chunk)
+            if chunk.shape[1:] != expect or chunk.shape[0] > bs:
+                raise ValueError(
+                    f"stream chunk must be (<= {bs}, {expect}), "
+                    f"got {chunk.shape}")
+            c = chunk.shape[0]
+            if c < bs:
+                pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            emb = fn(self.variables, jnp.asarray(chunk))
+            emb = emb[:c] if c < bs else emb
+            if not outs and out_dtype == jnp.int8:
+                # one host sync, first chunk only: the grid scale
+                scale = max(
+                    float(jnp.max(jnp.abs(emb))) * margin / 127.0, 1e-30)
+            outs.append(cast(emb, jnp.float32(scale)))
+            if inflight and len(outs) % inflight == 0:
+                np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
+        if not outs:
+            return jnp.zeros((0, self.spec.dim), out_dtype), scale
+        return (outs[0] if len(outs) == 1 else jnp.concatenate(outs)), scale
+
     def embed_blob(self, blob: np.ndarray) -> np.ndarray:
         """Embed an already-preprocessed float32 (N, 3, S, S) blob — the
         exact tensor the reference feeds its DNN (embeddings.go:103)."""

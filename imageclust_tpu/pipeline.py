@@ -240,7 +240,24 @@ class Pipeline:
                     yield imgs
 
             with timer.stage("embed"):
-                image_emb = self.embedder.embed_stream(chunk_iter())
+                # stream straight into the cluster residency dtype: the
+                # f32 matrix never materializes, so the bf16/int8 capacity
+                # tiers work through the real pipeline (chain keeps f32 —
+                # its internal state is f32 centroids anyway)
+                emb_scale = 1.0
+                res_dt = None
+                if cfg.cluster.scale_engine == "bucketed":
+                    import jax.numpy as jnp
+
+                    res_dt = {"bfloat16": jnp.bfloat16,
+                              "int8": jnp.int8}.get(
+                                  cfg.cluster.feature_dtype)
+                if res_dt is not None:
+                    image_emb, emb_scale = (
+                        self.embedder.embed_stream_quantized(
+                            chunk_iter(), out_dtype=res_dt))
+                else:
+                    image_emb = self.embedder.embed_stream(chunk_iter())
             if not zero_shot_batched:
                 label_set = self._label_set(per_image_labels, cfg.labels)
                 metrics.counters["unique_labels"] = len(label_set)
@@ -318,8 +335,17 @@ class Pipeline:
 
                 features = image_emb
                 if label_mat.shape[1]:
+                    if image_emb.dtype == jnp.int8:
+                        # same grid as the streamed image block: divide by
+                        # its scale so relative geometry matches the f32
+                        # pipeline (the engine itself is scale-invariant)
+                        label_mat = np.clip(
+                            np.round(label_mat / np.float32(emb_scale)),
+                            -127, 127).astype(np.int8)
                     features = jnp.concatenate(
-                        [image_emb, jnp.asarray(label_mat)], axis=1
+                        [image_emb,
+                         jnp.asarray(label_mat).astype(image_emb.dtype)],
+                        axis=1,
                     )
             else:
                 features = combine_embeddings(image_emb, label_mat)

@@ -60,3 +60,25 @@ class MeanColorEmbedder:
         if not outs:
             return jnp.zeros((0, self.spec.dim), jnp.float32)
         return jnp.asarray(np.concatenate(outs))
+
+    def embed_stream_quantized(self, chunks, out_dtype=None,
+                               margin: float = 1.25):
+        # mirrors Embedder.embed_stream_quantized: first-chunk int8 scale
+        import jax.numpy as jnp
+
+        outs = []
+        scale = 1.0
+        for c in chunks:
+            e = self.embed(c)
+            if out_dtype == jnp.int8:
+                if not outs:
+                    scale = max(float(np.abs(e).max()) * margin / 127.0,
+                                1e-30)
+                e = np.clip(np.round(e / scale), -127, 127).astype(np.int8)
+            elif out_dtype == jnp.bfloat16:
+                e = jnp.asarray(e).astype(jnp.bfloat16)
+            outs.append(np.asarray(e))
+        if not outs:
+            return jnp.zeros((0, self.spec.dim),
+                             out_dtype or jnp.float32), scale
+        return jnp.asarray(np.concatenate(outs)), scale

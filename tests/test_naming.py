@@ -255,8 +255,11 @@ class TestClusterFanOut:
         assert set(outs) == set(texts)
         assert namer.calls == 5000
         assert namer.peak > 8  # genuinely concurrent across clusters
-        # serial would be >= 10 s; the fan-out must stay well under
-        assert wall < 5.0, f"naming 5k clusters took {wall:.1f}s"
+        # serial would be >= 10 s (5000 x 2 ms); the fan-out must stay well
+        # under. Bound sized for a CONTENDED box (this suite shares a host
+        # with benches): 8 s still rejects any serial regression while not
+        # flaking when the scheduler starves the worker threads.
+        assert wall < 8.0, f"naming 5k clusters took {wall:.1f}s"
         assert outs["Cluster-17"][0].title == "T:labels 17"
 
     def test_resume_skips_named_clusters(self, tmp_path):

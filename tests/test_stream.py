@@ -166,3 +166,88 @@ class TestPipelineStreaming:
         res = pipe.run_paths(paths, str(tmp_path / "w"), min_size=3, max_size=6)
         (details,) = res.clusters.values()
         assert sorted(details.images) == ["x.png", "x_1.png", "y.png"]
+
+
+class TestEmbedStreamQuantized:
+    def _toy(self):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) + variables["b"]
+
+        return Embedder(spec, apply_fn, {"b": jnp.zeros((3,))}, batch_size=4)
+
+    def test_int8_matches_manual_quantization(self, rng):
+        import jax.numpy as jnp
+
+        emb = self._toy()
+        images = rng.integers(0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        f32 = emb.embed(images)
+        got, scale = emb.embed_stream_quantized(
+            (images[i:i + 4] for i in range(0, 11, 4)),
+            out_dtype=jnp.int8)
+        got = np.asarray(got)
+        assert got.dtype == np.int8 and got.shape == f32.shape
+        # scale calibrated on the FIRST chunk only
+        want_scale = float(np.abs(f32[:4]).max()) * 1.25 / 127.0
+        assert abs(scale - want_scale) < 1e-6 * want_scale
+        want = np.clip(np.round(f32 / scale), -127, 127)
+        np.testing.assert_array_equal(got, want.astype(np.int8))
+
+    def test_bf16_is_plain_cast(self, rng):
+        import jax.numpy as jnp
+
+        emb = self._toy()
+        images = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+        f32 = emb.embed(images)
+        got, scale = emb.embed_stream_quantized(
+            (images[i:i + 4] for i in range(0, 8, 4)),
+            out_dtype=jnp.bfloat16)
+        assert scale == 1.0 and got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), f32, rtol=1e-2)
+
+    def test_f32_passthrough_matches_embed_stream(self, rng):
+        emb = self._toy()
+        images = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+        got, scale = emb.embed_stream_quantized(
+            (images[i:i + 4] for i in range(0, 8, 4)))
+        assert scale == 1.0
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(emb.embed_stream(
+                images[i:i + 4] for i in range(0, 8, 4))), rtol=1e-6)
+
+
+class TestPipelineStreamedResidency:
+    def test_run_paths_int8_residency_recovers_groups(self, rng, tmp_path):
+        """Streamed big job straight into int8 residency (the f32 matrix
+        never exists): groups recovered, label block on the same grid."""
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+            cluster=ClusterConfig(exact_limit=4, bucket_size=16,
+                                  feature_dtype="int8"),
+        )
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        names, blobs = color_group_images(rng, n_groups=3, per_group=4)
+        src = tmp_path / "imgs"
+        src.mkdir()
+        paths = []
+        for n, b in zip(names, blobs):
+            p = src / n
+            p.write_bytes(b)
+            paths.append(str(p))
+        res = pipe.run_paths(paths, str(tmp_path / "w"), min_size=3,
+                             max_size=6)
+        got = {frozenset(d.images) for d in res.clusters.values()}
+        want = {frozenset(f"g{g}_img{i}.png" for i in range(4))
+                for g in range(3)}
+        assert got == want
