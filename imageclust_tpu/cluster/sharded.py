@@ -852,7 +852,11 @@ def _spill_centroids(feats, assign, sizes, c_pad):
         block = min(1 << 16, 1 << max(n - 1, 1).bit_length())
         n_main = (n // block) * block
         n_blocks = n_main // block
-        C = min(c_pad, _SPILL_CENT_SLAB)
+        # slab width bounded by d too: the (C+1, d) f32 accumulator stays
+        # ~1 GB at any width (at d=1024 the fixed 2^19 slab would be
+        # 2.15 GB next to the resident matrix); d <= 512 keeps today's
+        # exact slab boundaries
+        C = min(c_pad, _SPILL_CENT_SLAB, max(1 << 14, (1 << 28) // d))
         n_slabs = -(-c_pad // C)
 
         def slab_sums(base):
