@@ -251,3 +251,30 @@ class TestPipelineStreamedResidency:
         want = {frozenset(f"g{g}_img{i}.png" for i in range(4))
                 for g in range(3)}
         assert got == want
+
+    def test_run_paths_text_fusion_int8_combined(self, rng, tmp_path):
+        """Config 5 wired end to end: dense text-label fusion + streamed
+        int8 residency in one job — the label block lands on the image
+        block's grid and the groups still come out."""
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake", fusion="text",
+                               fusion_weight=4.0),
+            naming=NamingConfig(services=("fake",), retries=1),
+            cluster=ClusterConfig(exact_limit=4, bucket_size=16,
+                                  feature_dtype="int8"),
+        )
+        pipe = Pipeline(cfg, embedder=MeanColorEmbedder())
+        names, blobs = color_group_images(rng, n_groups=3, per_group=4)
+        src = tmp_path / "imgs"
+        src.mkdir()
+        paths = []
+        for n, b in zip(names, blobs):
+            p = src / n
+            p.write_bytes(b)
+            paths.append(str(p))
+        res = pipe.run_paths(paths, str(tmp_path / "w"), min_size=3,
+                             max_size=6)
+        got = {frozenset(d.images) for d in res.clusters.values()}
+        want = {frozenset(f"g{g}_img{i}.png" for i in range(4))
+                for g in range(3)}
+        assert got == want
