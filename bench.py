@@ -407,7 +407,10 @@ def main() -> int:
         logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
-    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--batch", type=int, default=0,
+                        help="0 = per-mode default: 512 for the e2e "
+                             "resnet50 benches, the tower's measured-best "
+                             "DEFAULT_BATCH for --embed-only")
     parser.add_argument("--bucket", type=int, default=256)
     parser.add_argument("--decode", action="store_true",
                         help="benchmark the host decode stage instead")
@@ -443,7 +446,7 @@ def main() -> int:
     if args.decode:
         result = bench_decode(min(args.n, 10_000), args.workers)
     elif args.e2e_real:
-        result = bench_e2e_real(args.n, args.batch, args.bucket,
+        result = bench_e2e_real(args.n, args.batch or 512, args.bucket,
                                 args.workers, args.data_dir)
     elif args.cluster_only:
         result = bench_cluster_only(args.n, args.d, args.bucket, args.engine,
@@ -452,7 +455,7 @@ def main() -> int:
         result = bench_embed_only(args.model, args.batch, args.n,
                                   args.quantize)
     else:
-        result = bench_e2e(args.n, args.batch, args.bucket, args.quantize)
+        result = bench_e2e(args.n, args.batch or 512, args.bucket, args.quantize)
     detail = result.pop("detail")
     _log(f"detail: {json.dumps(detail)}")
     print(json.dumps(result), flush=True)

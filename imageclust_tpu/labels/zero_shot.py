@@ -69,17 +69,24 @@ class ZeroShotLabeler:
             from imageclust_tpu.models.text import TextEncoder
 
             enc = TextEncoder.from_checkpoint(text_checkpoint)
-            labeler = cls.from_texts(list(_VOCAB), embedder,
-                                     text_encoder=enc)
-            if labeler.bank.shape[1] != embedder.spec.dim:
-                # cosine against image embeddings needs a shared space —
-                # a CLIP text tower cannot pair with e.g. 1000-d logits
-                raise ValueError(
-                    f"text tower dim {labeler.bank.shape[1]} != embedder "
-                    f"dim {embedder.spec.dim}; zero-shot needs matched "
-                    "image/text checkpoints (e.g. the two halves of one "
-                    "CLIP model)")
-            return labeler
+            if enc.cfg.proj_dim != embedder.spec.dim:
+                # cosine against image embeddings needs a shared space — a
+                # CLIP text tower cannot pair with e.g. 1000-d logits. The
+                # checkpoint may have been configured for the FUSION tower
+                # only (labels.fusion=text shares the config field), so
+                # degrade to the inert demo bank instead of aborting the
+                # job — loudly.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "labels.text_checkpoint_path tower dim %d != embedder "
+                    "dim %d — zero-shot needs matched image/text halves of "
+                    "one CLIP model; falling back to the inert demo bank "
+                    "(labels will stay empty at default thresholds)",
+                    enc.cfg.proj_dim, embedder.spec.dim)
+            else:
+                return cls.from_texts(list(_VOCAB), embedder,
+                                      text_encoder=enc)
         if bank_path and os.path.exists(bank_path):
             # allow_pickle stays False: `imageclust bank` writes plain
             # string/float arrays, and a tampered npz must not execute code.

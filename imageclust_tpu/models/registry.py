@@ -206,55 +206,34 @@ class Embedder:
         than a slow host->device link drains them and RSS grows with the
         job (observed: 16 GB at 100k images through the axon tunnel). Every
         ``inflight`` chunks one scalar is pulled to force completion."""
-        fn = self._embed_fn(resize=False)
-        bs = self.batch_size
-        if self.mesh is not None:
-            ndev = self.mesh.shape["data"]
-            bs = max(ndev, (bs // ndev) * ndev)
-        outs: list[jax.Array] = []
-        expect = (self.spec.input_size, self.spec.input_size, 3)
-        for chunk in chunks:
-            chunk = np.asarray(chunk)
-            if chunk.shape[1:] != expect or chunk.shape[0] > bs:
-                raise ValueError(
-                    f"stream chunk must be (<= {bs}, {expect}), got {chunk.shape}"
-                )
-            c = chunk.shape[0]
-            if c < bs:  # pad to the one compiled shape
-                pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
-            emb = fn(self.variables, jnp.asarray(chunk))
-            outs.append(emb[:c] if c < bs else emb)
-            if inflight and len(outs) % inflight == 0:
-                np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
-        if not outs:
-            return jnp.zeros((0, self.spec.dim), jnp.float32)
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return self.embed_stream_quantized(chunks, inflight)[0]
 
     def embed_stream_quantized(self, chunks, inflight: int = 4,
                                out_dtype=None, margin: float = 1.25):
         """:meth:`embed_stream` with each chunk cast to a RESIDENCY dtype
         before it accumulates in HBM — the f32 matrix never exists, so the
         bf16/int8 cluster capacity tiers are reachable through the real
-        streamed pipeline, not just synthetic benches.
+        streamed pipeline, not just synthetic benches. (This method IS the
+        stream loop; ``embed_stream`` is the identity-cast special case.)
 
-        ``out_dtype`` bfloat16: plain per-chunk rounding. int8: symmetric
-        grid with the scale calibrated on the FIRST chunk
-        (absmax * ``margin`` / 127; embeddings from one model are
-        range-stable across chunks — later outliers clip, same compromise
-        as int8 activation calibration). Returns ``(array, scale)``;
-        ``scale`` is 1.0 unless int8 — divide any block concatenated onto
-        these features (e.g. label fusion) by it so relative geometry
-        matches the f32 pipeline."""
+        ``out_dtype`` None/float32: identity. bfloat16: plain per-chunk
+        rounding. int8: symmetric grid with the scale calibrated on the
+        FIRST chunk (absmax * ``margin`` / 127; embeddings from one model
+        are range-stable across chunks — later outliers clip, same
+        compromise as int8 activation calibration). Returns
+        ``(array, scale)``; ``scale`` is 1.0 unless int8 — divide any
+        block concatenated onto these features (e.g. label fusion) by it
+        so relative geometry matches the f32 pipeline."""
         import jax
         import jax.numpy as jnp
 
+        int8 = out_dtype == jnp.int8
         if out_dtype is None or out_dtype == jnp.float32:
-            return self.embed_stream(chunks, inflight), 1.0
-        if out_dtype == jnp.bfloat16:
-            def cast(e, _):
-                return e.astype(jnp.bfloat16)
-        elif out_dtype == jnp.int8:
+            out_dtype = jnp.float32
+            cast = lambda e, _: e
+        elif out_dtype == jnp.bfloat16:
+            cast = lambda e, _: e.astype(jnp.bfloat16)
+        elif int8:
             @jax.jit
             def cast(e, s):
                 q = jnp.round(e.astype(jnp.float32) / s)
@@ -277,12 +256,12 @@ class Embedder:
                     f"stream chunk must be (<= {bs}, {expect}), "
                     f"got {chunk.shape}")
             c = chunk.shape[0]
-            if c < bs:
+            if c < bs:  # pad to the one compiled shape
                 pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
             emb = fn(self.variables, jnp.asarray(chunk))
             emb = emb[:c] if c < bs else emb
-            if not outs and out_dtype == jnp.int8:
+            if not outs and int8:
                 # one host sync, first chunk only: the grid scale
                 scale = max(
                     float(jnp.max(jnp.abs(emb))) * margin / 127.0, 1e-30)

@@ -285,11 +285,30 @@ class TextEncoder:
         dummy = jnp.zeros((1, cfg.context), jnp.int32)
         variables = model.init(jax.random.PRNGKey(0), dummy)
         variables = load_clip_text_torch(sd, cfg, variables)
-        enc = cls(cfg, variables=variables, bpe_path=bpe_path)
-        if enc.tokenizer is None:
-            import logging
+        import logging
+        import os
 
-            logging.getLogger(__name__).warning(
+        if bpe_path is None:
+            # a real CLIP checkpoint is BPE-trained by definition, so
+            # (unlike the generic __init__, which must protect
+            # hash-tokenizer-trained variables) the conventionally-placed
+            # merges file is adopted automatically — guarded below by the
+            # vocab check against the checkpoint's own embedding table
+            from imageclust_tpu.models.tokenizer import default_bpe_path
+
+            conv = default_bpe_path()
+            if os.path.exists(conv):
+                bpe_path = conv
+        enc = cls(cfg, variables=variables, bpe_path=bpe_path)
+        log = logging.getLogger(__name__)
+        if enc.tokenizer is not None and enc.cfg.vocab != cfg.vocab:
+            log.warning(
+                "BPE vocabulary size %d != checkpoint embedding table %d — "
+                "falling back to the hashing tokenizer (wrong merges file "
+                "for this checkpoint?)", enc.cfg.vocab, cfg.vocab)
+            enc = cls(cfg, variables=variables)  # no BPE adoption
+        if enc.tokenizer is None:
+            log.warning(
                 "text checkpoint %s loaded with the HASHING tokenizer — "
                 "token ids will not match the trained vocabulary; pass the "
                 "CLIP merges file (bpe_path / IMAGECLUST_BPE_PATH) for "
@@ -301,6 +320,27 @@ class TextEncoder:
             return self.tokenizer(text)
         return hash_tokenize(text, self.cfg.vocab, self.cfg.context)
 
+    # fixed encode batch: one compiled shape however many label names a
+    # corpus produces (the unique-label set grows with the job — per-count
+    # shapes would recompile every job, minutes each through the tunnel),
+    # and bounded memory for huge vocabularies
+    _ENCODE_BATCH = 256
+
     def encode(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.cfg.proj_dim), np.float32)
         toks = np.stack([self.tokenize(t) for t in texts])
-        return np.asarray(self._fn(self.variables, jnp.asarray(toks)))
+        bs = self._ENCODE_BATCH
+        outs = []
+        for s in range(0, len(texts), bs):
+            part = toks[s:s + bs]
+            c = part.shape[0]
+            # pad to the next power of two: at most log2(256) compiled
+            # shape classes ever, instead of one per distinct label count
+            width = min(bs, 1 << max(c - 1, 1).bit_length())
+            if c < width:
+                part = np.concatenate(
+                    [part, np.zeros((width - c, part.shape[1]), part.dtype)])
+            out = np.asarray(self._fn(self.variables, jnp.asarray(part)))
+            outs.append(out[:c])
+        return np.concatenate(outs)

@@ -339,9 +339,20 @@ class Pipeline:
                         # same grid as the streamed image block: divide by
                         # its scale so relative geometry matches the f32
                         # pipeline (the engine itself is scale-invariant)
+                        had_labels = bool(label_mat.any())
                         label_mat = np.clip(
                             np.round(label_mat / np.float32(emb_scale)),
                             -127, 127).astype(np.int8)
+                        if had_labels and not label_mat.any():
+                            # faithful to f32 semantics (values this far
+                            # below the image block's magnitude barely
+                            # moved Ward distances either) — but say it
+                            log.warning(
+                                "int8 residency rounded the label block "
+                                "to all zeros (values below the grid step "
+                                "%.3g) — labels will not influence "
+                                "clustering; raise labels.fusion_weight "
+                                "to give them weight", emb_scale)
                     features = jnp.concatenate(
                         [image_emb,
                          jnp.asarray(label_mat).astype(image_emb.dtype)],
