@@ -845,7 +845,14 @@ def _spill_centroids(feats, assign, sizes, c_pad):
     bf16 features: centroids are RETURNED in bf16 (candidate ranking in the
     mode's documented near-tie tolerance) and accumulated one cluster-slab
     at a time — every slab streams the full matrix, but that is ~0.1 s/pass
-    of bandwidth vs an (c_pad+1, d) f32 accumulator that cannot fit."""
+    of bandwidth vs an (c_pad+1, d) f32 accumulator that cannot fit.
+
+    int8 features: centroids ROUND BACK TO THE GRID and return int8 —
+    <= 0.5/dim rounding against coordinates spanning [-127, 127], the same
+    tolerance class as bf16's centroid rounding, and the (c_pad, d) matrix
+    is 4.6 GB -> 2.3 GB at the 10M x 1024 tier, next to a 10.2 GB resident
+    matrix."""
+    out_dt = jnp.int8 if feats.dtype == jnp.int8 else jnp.bfloat16
     seg = jnp.where(assign >= 0, assign, c_pad)
     if feats.dtype != jnp.float32:  # bf16 or int8 residency
         n, d = feats.shape
@@ -889,10 +896,12 @@ def _spill_centroids(feats, assign, sizes, c_pad):
             sz = jax.lax.dynamic_slice_in_dim(sizes, base, C, 0)
             mean = slab_sums(base) / jnp.maximum(
                 sz, 1)[:, None].astype(jnp.float32)
+            if out_dt == jnp.int8:  # back onto the feature grid
+                mean = jnp.clip(jnp.round(mean), -127, 127)
             return jax.lax.dynamic_update_slice(
-                out, mean.astype(jnp.bfloat16), (base, 0)), None
+                out, mean.astype(out_dt), (base, 0)), None
 
-        out = jnp.zeros((c_pad, d), jnp.bfloat16)
+        out = jnp.zeros((c_pad, d), out_dt)
         out, _ = jax.lax.scan(
             slab, out, jnp.arange(n_slabs, dtype=jnp.int32))
         return out
@@ -915,6 +924,8 @@ def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
     cl = bucket_clusters[item_bucket]          # (chunk, mc), -1 padded
     safe = jnp.maximum(cl, 0)
     cc = cents[safe]                           # (chunk, mc, d)
+    if cc.dtype == jnp.int8:  # grid-rounded centroids: exact in bf16
+        cc = cc.astype(jnp.bfloat16)
     xx = jnp.sum(jnp.square(dx.astype(jnp.float32)), -1)[:, None]
     yy = jnp.sum(jnp.square(cc.astype(jnp.float32)), -1)
     g = jnp.einsum("cd,cmd->cm", dx, cc,
