@@ -105,17 +105,31 @@ def _sqdist_tile(rows: jax.Array, cents: jax.Array) -> jax.Array:
     For bf16-resident features the gram runs with native bf16 MXU inputs
     (centroids rounded to bf16; norms taken from the same rounded values so
     the quadratic expansion stays consistent) — ~4x over upcasting to f32
-    matmuls, in the mode already documented as non-parity near ties. int8
-    rows take the same path (int8 -> bf16 is EXACT: |v| <= 127); only the
-    centroid rounding is approximate. f32 features keep the exact f32
-    path."""
-    if rows.dtype in (jnp.bfloat16, jnp.int8):
-        r16 = rows.astype(jnp.bfloat16)
+    matmuls, in the mode already documented as non-parity near ties.
+
+    int8 rows run a TRUE int8 x int8 -> int32 MXU gram (~2x the bf16 rate):
+    centroids round onto the feature grid first (<= 0.5/dim, the mode's
+    documented tolerance — the spill path's centroids already live there),
+    after which every product is EXACT integer arithmetic; the int32 gram
+    converts to f32 losslessly for |g| < 2^24 (d <= ~1000 at worst-case
+    coordinates) and within f32 rounding above. f32 features keep the
+    exact f32 path."""
+    if rows.dtype == jnp.int8:
+        c8 = cents if cents.dtype == jnp.int8 else jnp.clip(
+            jnp.round(cents.astype(jnp.float32)), -127, 127).astype(jnp.int8)
+        g = jax.lax.dot_general(
+            rows, c8, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
+        yy = jnp.sum(jnp.square(c8.astype(jnp.float32)), axis=1)[None, :]
+        return jnp.maximum(xx + yy - 2.0 * g, 0.0)
+    if rows.dtype == jnp.bfloat16:
         c16 = cents.astype(jnp.bfloat16)
-        xx = jnp.sum(jnp.square(r16.astype(jnp.float32)), axis=1)[:, None]
+        xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
         yy = jnp.sum(jnp.square(c16.astype(jnp.float32)), axis=1)[None, :]
         g = jax.lax.dot_general(
-            r16, c16, dimension_numbers=(((1,), (1,)), ((), ())),
+            rows, c16, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return jnp.maximum(xx + yy - 2.0 * g, 0.0)
@@ -147,6 +161,7 @@ def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
     n_real, d = x.shape
     n_blocks = (n_real // block)
     tail, tail_valid = _kmeans_tail(x, block)
+    int8 = x.dtype == jnp.int8
     acc_dt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
 
     def accum(carry, rows, valid):
@@ -154,8 +169,20 @@ def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
         d2 = _sqdist_tile(rows, cents)  # (block, k)
         assign = jnp.argmin(d2, axis=1)
         # 0/1 one-hot is exact in bf16; bf16 x bf16 MXU products are exact
-        # in the f32 accumulator, so acc_dt only changes speed, not values
-        # (int8 rows cast to bf16 exactly: |v| <= 127)
+        # in the f32 accumulator, so acc_dt only changes speed, not values.
+        # int8 rows: int8 onehot x int8 rows -> int32 segment sums on the
+        # MXU at ~2x the bf16 rate, EXACT (per-center block sums are
+        # <= 65536 * 127, well inside int32)
+        if int8:
+            onehot = jax.nn.one_hot(assign, k, dtype=jnp.int8)
+            onehot = onehot * valid[:, None].astype(jnp.int8)
+            counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
+            sums = sums + jax.lax.dot_general(
+                onehot, rows,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            return sums, counts
         onehot = jax.nn.one_hot(assign, k, dtype=acc_dt)
         onehot = onehot * valid[:, None].astype(acc_dt)
         counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
@@ -919,17 +946,22 @@ def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
     plus its top_k temps exhausted the chip). Returns GLOBAL cluster ids,
     -1 where invalid."""
     dx = feats[drop_idx]                       # (chunk, d), native dtype
-    if dx.dtype == jnp.int8:
-        dx = dx.astype(jnp.bfloat16)  # exact; keeps the einsum homogeneous
     cl = bucket_clusters[item_bucket]          # (chunk, mc), -1 padded
     safe = jnp.maximum(cl, 0)
     cc = cents[safe]                           # (chunk, mc, d)
-    if cc.dtype == jnp.int8:  # grid-rounded centroids: exact in bf16
-        cc = cc.astype(jnp.bfloat16)
     xx = jnp.sum(jnp.square(dx.astype(jnp.float32)), -1)[:, None]
     yy = jnp.sum(jnp.square(cc.astype(jnp.float32)), -1)
-    g = jnp.einsum("cd,cmd->cm", dx, cc,
-                   preferred_element_type=jnp.float32)
+    if dx.dtype == jnp.int8 and cc.dtype == jnp.int8:
+        # grid features x grid centroids: exact int8 MXU gram
+        g = jnp.einsum("cd,cmd->cm", dx, cc,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        if dx.dtype == jnp.int8:
+            dx = dx.astype(jnp.bfloat16)  # exact upcast
+        if cc.dtype == jnp.int8:
+            cc = cc.astype(jnp.bfloat16)
+        g = jnp.einsum("cd,cmd->cm", dx, cc,
+                       preferred_element_type=jnp.float32)
     d2 = xx + yy - 2.0 * g
     valid = (cl >= 0) & (sizes[safe] < max_size)
     d2 = jnp.where(valid, d2, jnp.inf)

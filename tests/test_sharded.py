@@ -789,3 +789,30 @@ class TestInt8Residency:
                 want = x[m].astype(np.float64).mean(0)
                 got = cents[c].astype(np.float64)
                 np.testing.assert_allclose(got, want, atol=0.501)
+
+    def test_int8_gram_is_exact_integer_arithmetic(self):
+        import jax.numpy as jnp
+        import imageclust_tpu.cluster.sharded as sh
+
+        rng = np.random.default_rng(5)
+        rows = rng.integers(-127, 128, (64, 48)).astype(np.int8)
+        cents = rng.integers(-127, 128, (16, 48)).astype(np.int8)
+        got = np.asarray(sh._sqdist_tile(jnp.asarray(rows),
+                                         jnp.asarray(cents)))
+        want = ((rows.astype(np.int64)[:, None, :]
+                 - cents.astype(np.int64)[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_array_equal(got.astype(np.int64), want)
+
+    def test_int8_gram_quantizes_f32_centroids_to_grid(self):
+        import jax.numpy as jnp
+        import imageclust_tpu.cluster.sharded as sh
+
+        rng = np.random.default_rng(6)
+        rows = rng.integers(-127, 128, (32, 8)).astype(np.int8)
+        cents = rng.uniform(-100, 100, (4, 8)).astype(np.float32)
+        got = np.asarray(sh._sqdist_tile(jnp.asarray(rows),
+                                         jnp.asarray(cents)))
+        c8 = np.clip(np.round(cents), -127, 127)
+        want = ((rows.astype(np.float64)[:, None, :]
+                 - c8.astype(np.float64)[None, :, :]) ** 2).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
