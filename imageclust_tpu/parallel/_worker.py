@@ -197,6 +197,17 @@ def verify_bucketed() -> None:
     assert len(res.dropped) == 0
     print(f"bucketed ok: {len(res.cluster_map)} clusters on "
           f"{jax.device_count()} devices", flush=True)
+    # int8 residency across processes: the owner-aligned all_to_all
+    # carries an int8 payload through the gloo backend — mesh result must
+    # still equal the single-device int8 engine bit-for-bit
+    res8 = constrained_ward_bucketed(
+        x, min_size=3, max_size=6, bucket_size=32, mesh=mesh,
+        feature_dtype="int8")
+    ref8 = constrained_ward_bucketed(
+        x, min_size=3, max_size=6, bucket_size=32, mesh=None,
+        feature_dtype="int8")
+    assert res8.cluster_map == ref8.cluster_map, "int8 mesh result diverged"
+    print("bucketed int8 ok", flush=True)
 
 
 def verify_all() -> None:
