@@ -84,6 +84,13 @@ class Embedder:
         self.spec = spec
         self.batch_size = batch_size
         self.mesh = mesh
+        if mesh is not None:
+            # the DP executor dispatches device-divisible batches; rounding
+            # DOWN inside embed_stream* while producers chunk at the raw
+            # batch_size would reject their chunks — make the effective
+            # size the one everyone sees
+            ndev = mesh.shape["data"]
+            self.batch_size = max(ndev, (batch_size // ndev) * ndev)
         self.tag = tag or spec.name  # identity for the embedding cache
         # provenance: True iff real weights (ONNX/ckpt) were ingested —
         # verify gates must not certify random init (review finding)

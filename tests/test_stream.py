@@ -278,3 +278,31 @@ class TestPipelineStreamedResidency:
         want = {frozenset(f"g{g}_img{i}.png" for i in range(4))
                 for g in range(3)}
         assert got == want
+
+
+class TestMeshBatchRounding:
+    def test_embedder_batch_rounds_to_device_multiple(self, mesh8):
+        """With a mesh, Embedder.batch_size is the EFFECTIVE (device-
+        divisible) size — producers that chunk at embedder.batch_size can
+        never build a chunk the stream path rejects."""
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) + variables["b"]
+
+        emb = Embedder(spec, apply_fn, {"b": jnp.zeros((3,))},
+                       batch_size=10, mesh=mesh8)
+        assert emb.batch_size == 8  # rounded to the data-axis multiple (4)
+        images = np.random.default_rng(0).integers(
+            0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        out, scale = emb.embed_stream_quantized(
+            images[i:i + emb.batch_size]
+            for i in range(0, 11, emb.batch_size))
+        assert np.asarray(out).shape == (11, 3) and scale == 1.0
