@@ -1370,6 +1370,7 @@ def constrained_ward_bucketed(
     """
     if feature_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown feature_dtype {feature_dtype!r}")
+    pt = _PhaseTimer()
     dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
           "int8": jnp.int8}[feature_dtype]
     if not isinstance(embeddings, jax.Array):
@@ -1379,6 +1380,7 @@ def constrained_ward_bucketed(
         embeddings = jnp.asarray(arr)
     if dt == jnp.int8 and embeddings.dtype != jnp.int8:
         feats = _feat_int8(embeddings)
+        pt.tick("quantize", sync=feats[:1, :1])
     else:
         feats = embeddings.astype(dt)
     n, d = feats.shape
@@ -1402,7 +1404,6 @@ def constrained_ward_bucketed(
             mesh=mesh,
         )
 
-    pt = _PhaseTimer()
     _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)
     pt.tick("kmeans", sync=own_d_d)
     buckets = _repair_buckets(
