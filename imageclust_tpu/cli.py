@@ -213,6 +213,7 @@ def cmd_verify(args) -> int:
             onnx=args.onnx or None, clip=args.clip or None,
             bpe=args.bpe or None, images=args.images or None,
             sample=args.sample, clip_text=args.clip_text or None,
+            quantize=args.quantize,
         )
     except Exception as exc:
         print(json.dumps({"ok": False, "error": str(exc)}, indent=2))
@@ -314,6 +315,11 @@ def main(argv: list[str] | None = None) -> int:
                           help="real images for the fixture (default: "
                                "seeded synthetics)")
     p_verify.add_argument("--sample", type=int, default=8)
+    p_verify.add_argument("--quantize", choices=["", "int8"], default="",
+                          help="also gate the int8 PTQ tower against the "
+                               "default tower on the same ingested weights "
+                               "(the real-weight quality sign-off the int8 "
+                               "docs defer to weight holders)")
     p_verify.set_defaults(fn=cmd_verify)
 
     p_models = sub.add_parser("models", help="list embedder models")

@@ -35,6 +35,34 @@ import numpy as np
 __all__ = ["verify_onnx", "verify_clip", "run_verify"]
 
 COSINE_GATE = 1.0 - 1e-5
+# int8 is a documented NON-parity serving mode (embeddings shift within
+# quantization error), so its gate is a quality floor, not a parity bound.
+INT8_GATE = 0.99
+
+
+def _int8_check(model: str, path: str, images_u8, report: dict) -> bool:
+    """int8-vs-default cosine on the SAME ingested weights and images —
+    the real-weight quality sign-off the int8 docs defer to weight holders
+    (README "quantize=int8"). Both towers build through the production
+    registry path, so calibration follows deployment rules
+    (IMAGECLUST_CALIB_NPY if set, else synthetic with a warning); the
+    fixture images are never used to calibrate."""
+    from imageclust_tpu.config import EmbedConfig
+    from imageclust_tpu.models.registry import create_embedder
+
+    base = create_embedder(
+        EmbedConfig(model=model, onnx_path=path, batch_size=8))
+    quant = create_embedder(
+        EmbedConfig(model=model, onnx_path=path, batch_size=8,
+                    quantize="int8"))
+    vf = np.asarray(base.embed(images_u8), np.float32)
+    vq = np.asarray(quant.embed(images_u8), np.float32)
+    cos = np.sum(vf * vq, axis=1) / (
+        np.linalg.norm(vf, axis=1) * np.linalg.norm(vq, axis=1) + 1e-12)
+    report["checks"]["int8_cosine_min"] = float(cos.min())
+    report["checks"]["int8_cosine_mean"] = float(cos.mean())
+    report["checks"]["int8_gate"] = INT8_GATE
+    return bool(cos.min() > INT8_GATE)
 
 
 def _fixture_images(images_dir: str | None, sample: int, size: int = 224):
@@ -71,7 +99,7 @@ def _blob_from_images(images_u8: np.ndarray) -> np.ndarray:
 
 
 def verify_onnx(onnx_path: str, images_dir: str | None = None,
-                sample: int = 8) -> dict:
+                sample: int = 8, quantize: str = "") -> dict:
     """Run the ResNet50 weight-parity gate. Returns a report dict with
     ``ok`` plus per-check details; raises on structural failures (bad
     file, shape mismatch)."""
@@ -126,10 +154,15 @@ def verify_onnx(onnx_path: str, images_dir: str | None = None,
     report["checks"]["assignments_equal"] = bool(assign_ok)
 
     report["ok"] = cosine_ok and assign_ok
+    if quantize == "int8":
+        int8_ok = _int8_check("resnet50", onnx_path, images, report)
+        report["checks"]["int8_ok"] = int8_ok
+        report["ok"] = report["ok"] and int8_ok
     return report
 
 
-def verify_clip(clip_path: str, bpe_path: str | None = None) -> dict:
+def verify_clip(clip_path: str, bpe_path: str | None = None,
+                quantize: str = "") -> dict:
     """Load-and-shape gate for a CLIP vision checkpoint (+ optional BPE
     vocabulary). No independent CLIP runtime exists in this image, so this
     verifies ingestion and output structure, not numerics."""
@@ -168,6 +201,10 @@ def verify_clip(clip_path: str, bpe_path: str | None = None) -> dict:
     report["ok"] = bool(report["checks"]["ingested"]
                         and report["checks"]["image_finite"]
                         and report["checks"].get("text_finite", True))
+    if quantize == "int8" and report["checks"]["ingested"]:
+        int8_ok = _int8_check("vit_b32", clip_path, images, report)
+        report["checks"]["int8_ok"] = int8_ok
+        report["ok"] = report["ok"] and int8_ok
     return report
 
 
@@ -201,16 +238,18 @@ def verify_clip_text(text_path: str, bpe_path: str | None = None) -> dict:
 
 def run_verify(onnx: str | None, clip: str | None = None,
                bpe: str | None = None, images: str | None = None,
-               sample: int = 8, clip_text: str | None = None) -> tuple[bool, dict]:
+               sample: int = 8, clip_text: str | None = None,
+               quantize: str = "") -> tuple[bool, dict]:
     """Drive every requested gate; returns (all_ok, combined report)."""
     combined: dict = {}
     ok = True
     if onnx:
-        r = verify_onnx(onnx, images_dir=images, sample=sample)
+        r = verify_onnx(onnx, images_dir=images, sample=sample,
+                        quantize=quantize)
         combined["resnet50"] = r
         ok = ok and r["ok"]
     if clip:
-        r = verify_clip(clip, bpe_path=bpe)
+        r = verify_clip(clip, bpe_path=bpe, quantize=quantize)
         combined["clip"] = r
         ok = ok and r["ok"]
     if clip_text:

@@ -46,6 +46,17 @@ class TestVerifyOnnx:
         report = verify_onnx(rn50_onnx, images_dir=str(d), sample=4)
         assert report["ok"] is True
 
+    def test_int8_leg(self, rn50_onnx):
+        """--quantize int8 extends the gate with the int8-vs-default
+        cosine on the same ingested weights (the quality sign-off the
+        int8 docs defer to weight holders)."""
+        from imageclust_tpu.verify import INT8_GATE, verify_onnx
+
+        report = verify_onnx(rn50_onnx, sample=4, quantize="int8")
+        assert report["checks"]["int8_cosine_min"] > INT8_GATE
+        assert report["checks"]["int8_ok"] is True
+        assert report["ok"] is True
+
     def test_garbage_file_fails_structurally(self, tmp_path, capsys):
         from imageclust_tpu.cli import main
 
