@@ -938,19 +938,27 @@ def _spill_centroids(feats, assign, sizes, c_pad):
 
 @partial(jax.jit, static_argnames=("k",))
 def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
-                            bucket_clusters, k, max_size):
+                            bucket_clusters, k, max_size, cent_norms=None):
     """Bucket-LOCAL candidate search: gather only each item's own bucket's
     cluster centroids — (chunk, mc, d) with mc = max clusters per bucket
     (~bucket_size/min_size) — instead of scoring all c_pad clusters and
     masking the ~40 relevant columns (at the 10M x 512 tier that full tile
     plus its top_k temps exhausted the chip). Returns GLOBAL cluster ids,
-    -1 where invalid."""
+    -1 where invalid.
+
+    ``cent_norms`` (precomputed (c_pad,) f32 squared norms) replaces the
+    per-chunk (chunk, mc, d) f32 square-and-reduce — bit-identical
+    (square-then-gather == gather-then-square elementwise) and drops the
+    largest f32 temp of the pass."""
     dx = feats[drop_idx]                       # (chunk, d), native dtype
     cl = bucket_clusters[item_bucket]          # (chunk, mc), -1 padded
     safe = jnp.maximum(cl, 0)
     cc = cents[safe]                           # (chunk, mc, d)
     xx = jnp.sum(jnp.square(dx.astype(jnp.float32)), -1)[:, None]
-    yy = jnp.sum(jnp.square(cc.astype(jnp.float32)), -1)
+    if cent_norms is None:
+        yy = jnp.sum(jnp.square(cc.astype(jnp.float32)), -1)
+    else:
+        yy = cent_norms[safe]                  # (chunk, mc)
     if dx.dtype == jnp.int8 and cc.dtype == jnp.int8:
         # grid features x grid centroids: exact int8 MXU gram
         g = jnp.einsum("cd,cmd->cm", dx, cc,
@@ -969,6 +977,13 @@ def _spill_candidates_local(feats, cents, sizes, drop_idx, item_bucket,
     vals, pos = jax.lax.top_k(-d2, kk)
     cand = jnp.take_along_axis(cl, pos, axis=1)
     return jnp.where(jnp.isfinite(vals), cand, -1)
+
+
+@jax.jit
+def _cent_norms(cents):
+    """(c_pad,) f32 squared norms of the spill centroids, computed once per
+    spill round instead of per candidate chunk."""
+    return jnp.sum(jnp.square(cents.astype(jnp.float32)), axis=1)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -1142,8 +1157,15 @@ def _spill_rounds(
             # own-bucket pass: candidates come from the precomputed
             # (nb, mc) cluster table instead of a c_pad-wide tile — the
             # candidate SET is identical (same-bucket clusters with room),
-            # the cost is (chunk, mc, d) with mc ~ bucket_size/min_size
-            CHUNK = 1024
+            # the cost is (chunk, mc, d) with mc ~ bucket_size/min_size.
+            # Budget that gather at a 128 MB nominal f32 tile, same scheme
+            # as the global pass: a fixed 1024-wide chunk at the
+            # 10M x 1024 tier gathered ~0.5 GB per dispatch next to a
+            # ~12.5 GB resident set — RESOURCE_EXHAUSTED, caught by the
+            # round-3 measurement ladder at both 10M big-d tiers
+            budget = (1 << 27) // max(1, 4 * mc * feats.shape[1])
+            CHUNK = 1 << max(3, min(10, budget.bit_length() - 1))
+            cent_norms_d = _cent_norms(cents_d)
         else:
             # global pass: the padded width bounds the (chunk, c_pad)
             # distance tile — the nominal tile is budgeted at 256 MB
@@ -1166,7 +1188,7 @@ def _spill_rounds(
                 ib[len(part):] = 0  # padded rows are sliced off below
                 out = np.asarray(_spill_candidates_local(
                     feats, cents_d, sizes_d, jnp.asarray(idxs),
-                    jnp.asarray(ib), table_d, k, ms,
+                    jnp.asarray(ib), table_d, k, ms, cent_norms_d,
                 ))
             else:
                 out = np.asarray(_spill_candidates(
