@@ -99,8 +99,15 @@ def _kmeans_tail(x: jax.Array, block: int):
     return tail, jnp.arange(block) < tail_n
 
 
-def _sqdist_tile(rows: jax.Array, cents: jax.Array) -> jax.Array:
+def _sqdist_tile(rows: jax.Array, cents: jax.Array,
+                 cent_norms: jax.Array | None = None) -> jax.Array:
     """(block, k) squared distances for bucket ASSIGNMENT.
+
+    ``cent_norms`` (optional precomputed (k,) f32 squared norms of the
+    STORED centroid values) skips the per-tile norm reduction over the full
+    (k, d) matrix — bit-identical when ``cents`` is already in its compute
+    dtype (the spill path: int8/bf16/f32 residency all store centroids
+    pre-rounded), which every caller passing it guarantees.
 
     For bf16-resident features the gram runs with native bf16 MXU inputs
     (centroids rounded to bf16; norms taken from the same rounded values so
@@ -122,17 +129,30 @@ def _sqdist_tile(rows: jax.Array, cents: jax.Array) -> jax.Array:
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
-        yy = jnp.sum(jnp.square(c8.astype(jnp.float32)), axis=1)[None, :]
+        yy = (cent_norms if cent_norms is not None else
+              jnp.sum(jnp.square(c8.astype(jnp.float32)), axis=1))[None, :]
         return jnp.maximum(xx + yy - 2.0 * g, 0.0)
     if rows.dtype == jnp.bfloat16:
         c16 = cents.astype(jnp.bfloat16)
         xx = jnp.sum(jnp.square(rows.astype(jnp.float32)), axis=1)[:, None]
-        yy = jnp.sum(jnp.square(c16.astype(jnp.float32)), axis=1)[None, :]
+        yy = (cent_norms if cent_norms is not None else
+              jnp.sum(jnp.square(c16.astype(jnp.float32)), axis=1))[None, :]
         g = jax.lax.dot_general(
             rows, c16, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return jnp.maximum(xx + yy - 2.0 * g, 0.0)
+    if cent_norms is not None:
+        # mirror _sqdist exactly (same reduction, same dot_general) with
+        # only the yy pass hoisted — bit-identical distances
+        x = rows.astype(jnp.float32)
+        xx = jnp.sum(x * x, axis=1)[:, None]
+        g = jax.lax.dot_general(
+            x, cents.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.maximum(xx + cent_norms[None, :] - 2.0 * g, 0.0)
     return _sqdist(rows, cents)
 
 
@@ -987,15 +1007,19 @@ def _cent_norms(cents):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size):
+def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
+                      cent_norms=None):
     """Per chunk of leftover items: top-k nearest clusters (over ALL
     clusters) that still have room — the GLOBAL pass. Only (chunk, k)
     indices cross to the host; the bucket-local pass uses
-    :func:`_spill_candidates_local` instead."""
+    :func:`_spill_candidates_local` instead. ``cent_norms`` hoists the
+    per-chunk norm reduction over the full (c_pad, d) matrix to once per
+    round (bit-identical; at the 10M tier each chunk otherwise re-reads
+    ~2 GB of centroids just for norms)."""
     dx = feats[drop_idx]
     # _sqdist_tile: bf16 features run the native-bf16 gram against the
     # (now bf16) centroid matrix — no f32 copy of (c_pad, d) materializes
-    d2 = _sqdist_tile(dx, cents)  # (chunk, c_pad)
+    d2 = _sqdist_tile(dx, cents, cent_norms)  # (chunk, c_pad)
     d2 = jnp.where(sizes[None, :] < max_size, d2, jnp.inf)
     vals, cand = jax.lax.top_k(-d2, k)
     # inf-masked entries still get top_k positions — mark them invalid so
@@ -1152,6 +1176,7 @@ def _spill_rounds(
         sizes_d = jnp.asarray(sizes)
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
+        cent_norms_d = _cent_norms(cents_d)
         ms = jnp.int32(max_size)
         if local:
             # own-bucket pass: candidates come from the precomputed
@@ -1165,7 +1190,6 @@ def _spill_rounds(
             # round-3 measurement ladder at both 10M big-d tiers
             budget = (1 << 27) // max(1, 4 * mc * feats.shape[1])
             CHUNK = 1 << max(3, min(10, budget.bit_length() - 1))
-            cent_norms_d = _cent_norms(cents_d)
         else:
             # global pass: the padded width bounds the (chunk, c_pad)
             # distance tile — the nominal tile is budgeted at 256 MB
@@ -1193,7 +1217,7 @@ def _spill_rounds(
             else:
                 out = np.asarray(_spill_candidates(
                     feats, cents_d, sizes_d, jnp.asarray(idxs),
-                    k, ms,
+                    k, ms, cent_norms_d,
                 ))
             cand_parts.append(out[: len(part)])
         cand = np.concatenate(cand_parts) if cand_parts else np.zeros(
