@@ -761,6 +761,30 @@ def _repair_buckets(
     cursor = 0
     CH = 8192
 
+    # The placement scan is inherently sequential (every placement depends
+    # on all earlier counts), so its fast path is the native C runtime —
+    # bit-identical to the per-item Python loop below, which remains both
+    # the no-.so fallback and the equivalence-test oracle. The chunked-
+    # vectorized numpy path stays for the fallback because contended
+    # preferences degrade it to per-item Python (measured ~10 s per 1.4M
+    # contended items at the 10M tier vs ~10 ms native).
+    spills = [spill_sorted[int(b)][capacity:] for b in over_b]
+    for b in over_b:
+        buckets[int(b)] = spill_sorted[int(b)][:capacity].tolist()
+    native_res = None
+    if spills and sum(len(s) for s in spills):
+        from imageclust_tpu.data.native import native_spill_place
+
+        spill_all = np.concatenate(spills)
+        src_all = np.repeat(over_b.astype(np.int32),
+                            [len(s) for s in spills])
+        native_res = native_spill_place(
+            top_pref[spill_all], src_all, cnt, capacity, cursor)
+    if native_res is not None:
+        placed_items.append(spill_all)
+        placed_into.append(native_res[0].astype(np.int64))
+        cursor = native_res[1]
+
     def _bulk_try(b: int, chunk: np.ndarray) -> bool:
         prefs = top_pref[chunk]  # (C, P)
         elig = (prefs != b) & (cnt[prefs] < capacity)
@@ -808,13 +832,11 @@ def _repair_buckets(
         placed_items.append(np.asarray(seq_i, dtype=np.int64))
         placed_into.append(np.asarray(seq_t, dtype=np.int64))
 
-    for b in over_b:
-        b = int(b)
-        srt = spill_sorted[b]
-        buckets[b] = srt[:capacity].tolist()
-        spill = srt[capacity:]
-        for s in range(0, len(spill), CH):
-            _place(b, spill[s:s + CH])
+    if native_res is None:
+        for z, b in enumerate(over_b):
+            spill = spills[z]
+            for s in range(0, len(spill), CH):
+                _place(int(b), spill[s:s + CH])
     if placed_items:
         items_all = np.concatenate(placed_items)
         into_all = np.concatenate(placed_into)
@@ -1174,6 +1196,10 @@ def _spill_rounds(
         assign = cols.assign_array(n)
         k = min(max(k, 8), n_c, K_CAP)
         sizes_d = jnp.asarray(sizes)
+        # drop the previous round's centroid matrix BEFORE building the new
+        # one — rebinding after the call would briefly hold two (c_pad, d)
+        # generations (2 x 2.3 GB at the 10M x 512 tier)
+        cents_d = cent_norms_d = None  # noqa: F841 — frees device buffers
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
         cent_norms_d = _cent_norms(cents_d)
@@ -1456,6 +1482,10 @@ def constrained_ward_bucketed(
         np.asarray(assign_d), np.asarray(own_d_d), np.asarray(pref_d),
         n_buckets, bucket_size, min_size,
     )
+    # the kmeans byproducts are host-side from here; drop the device copies
+    # — (n,) + (n,) + (n, 8) is ~0.5 GB at the 10M tier, which is exactly
+    # the HBM margin the spill phase later runs in
+    del assign_d, own_d_d, pref_d
     pt.tick("bucket-repair")
 
     nb = len(buckets)

@@ -20,6 +20,7 @@ __all__ = [
     "native_content_hash",
     "native_decode_resize",
     "native_reconstruct_members",
+    "native_spill_place",
 ]
 
 _LIB = None
@@ -60,7 +61,7 @@ def _load():
             # from an older checkout must not silently control preprocessing
             # (ADVICE r1). Rebuild with `make -C native`.
             try:
-                if lib.ic_version() < 3:
+                if lib.ic_version() < 4:
                     continue
             except AttributeError:
                 continue
@@ -76,6 +77,11 @@ def _load():
                 ctypes.c_int,
             ]
             lib.ic_reconstruct_members.restype = ctypes.c_int
+            lib.ic_spill_place.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _LIB = lib
             break
     return _LIB
@@ -218,3 +224,32 @@ def native_reconstruct_members(
     if rc != 0:
         raise ValueError("malformed merge log in native reconstruction")
     return members, sizes
+
+
+def native_spill_place(
+    prefs: np.ndarray,    # (m, P) int32 preference lists, processing order
+    src: np.ndarray,      # (m,) int32 source bucket per item (skipped)
+    cnt: np.ndarray,      # (nb,) int64 live counts — UPDATED IN PLACE
+    capacity: int,
+    cursor: int,
+) -> tuple[np.ndarray, int] | None:
+    """Sequential capacity-repair placement (the _repair_buckets hot loop)
+    at C speed — bit-identical to the per-item Python scan: first
+    preference != src with room, else the monotone-cursor fallback.
+    Returns (targets (m,) int32, updated cursor), or None when the native
+    lib is unavailable. ``cnt`` must be a contiguous int64 array owned by
+    the caller; it is mutated exactly as the Python loop would."""
+    lib = _load()
+    if lib is None:
+        return None
+    prefs = np.ascontiguousarray(prefs, np.int32)
+    src = np.ascontiguousarray(src, np.int32)
+    assert cnt.dtype == np.int64 and cnt.flags.c_contiguous
+    m, p = prefs.shape
+    out = np.empty(m, np.int32)
+    cur = np.array([cursor], np.int64)
+    lib.ic_spill_place(
+        prefs.ctypes.data, src.ctypes.data, m, p, cnt.ctypes.data,
+        cnt.shape[0], capacity, cur.ctypes.data, out.ctypes.data,
+    )
+    return out, int(cur[0])

@@ -394,6 +394,42 @@ int ic_reconstruct_members(const int32_t* logs, const int64_t* log_off,
   return rc.load();
 }
 
-int ic_version() { return 3; }
+// Sequential spill placement at C speed — the capacity-repair hot loop of
+// cluster/sharded.py:_repair_buckets. For each item i in order: the first
+// preference != src[i] with cnt < capacity wins; otherwise a monotone
+// cursor scans for the first bucket with room (buckets only FILL during
+// this phase, so the cursor never moves backwards); if the cursor
+// exhausts, the item stays in src[i]. cnt and cursor update in place so a
+// later call continues the same scan. Single-threaded by design: each
+// placement depends on every earlier one, and the Python chunked-bulk
+// path this replaces degraded to per-item interpretation exactly when
+// preferences contend (measured ~10 s per 1.4M contended items; this
+// loop is ~10 ms).
+void ic_spill_place(const int32_t* prefs, const int32_t* src, int64_t m,
+                    int32_t p, int64_t* cnt, int64_t nb, int64_t capacity,
+                    int64_t* cursor_io, int32_t* out) {
+  int64_t cursor = *cursor_io;
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t b = src[i];
+    const int32_t* pr = prefs + i * p;
+    int32_t chosen = -1;
+    for (int32_t j = 0; j < p; ++j) {
+      const int32_t nbk = pr[j];
+      if (nbk != b && cnt[nbk] < capacity) {
+        chosen = nbk;
+        break;
+      }
+    }
+    if (chosen < 0) {
+      while (cursor < nb && cnt[cursor] >= capacity) ++cursor;
+      chosen = cursor < nb ? static_cast<int32_t>(cursor) : b;
+    }
+    ++cnt[chosen];
+    out[i] = chosen;
+  }
+  *cursor_io = cursor;
+}
+
+int ic_version() { return 4; }
 
 }  // extern "C"

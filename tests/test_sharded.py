@@ -659,6 +659,38 @@ class TestHostTailHelpers:
             got = sh._repair_buckets(assign, own_d, top_pref, nb, cap, mn)
             assert got == ref, f"trial {trial}"
 
+    def test_repair_native_and_python_paths_agree(self, monkeypatch):
+        """The native C placement loop (ic_spill_place) and the chunked
+        numpy fallback must produce identical repair output — fixture
+        built contended (preferences concentrate on the popular, already
+        full buckets) so both the bulk-guard failures and the cursor
+        fallback fire."""
+        import imageclust_tpu.cluster.sharded as sh
+        from imageclust_tpu.data import native as dn
+
+        if not dn.available():
+            pytest.skip("native runtime not built")
+        rng = np.random.default_rng(11)
+        fixtures = []
+        for _ in range(6):
+            n = int(rng.integers(300, 3000))
+            nb = int(rng.integers(8, 40))
+            cap = int(rng.integers(4, 20))
+            mn = int(rng.integers(1, max(2, cap // 3)))
+            w = rng.lognormal(0, 1.5, nb)
+            p = w / w.sum()
+            assign = rng.choice(nb, size=n, p=p).astype(np.int32)
+            hot = np.argsort(-w)[: max(2, nb // 4)]
+            top_pref = hot[rng.integers(0, len(hot), (n, 6))].astype(
+                np.int32)
+            own_d = rng.random(n).astype(np.float32)
+            fixtures.append((assign, own_d, top_pref, nb, cap, mn))
+        with_native = [sh._repair_buckets(*f) for f in fixtures]
+        monkeypatch.setattr(dn, "native_spill_place",
+                            lambda *a, **k: None)
+        pure_python = [sh._repair_buckets(*f) for f in fixtures]
+        assert with_native == pure_python
+
 
 class TestSpillCandidatesLocal:
     def test_local_candidates_match_masked_global(self):
