@@ -703,12 +703,46 @@ def _repair_buckets(
 ) -> list[list[int]]:
     """Host-side capacity repair over per-item summaries: every bucket ends
     with min_size <= len <= capacity; spilled items go to the nearest
-    preferred bucket with space."""
+    preferred bucket with space.
+
+    Thin wrapper: computes bucket counts and each item's RANK within its
+    bucket (by own-centroid distance, ties by item id) on the host, then
+    delegates to :func:`_repair_from_summaries`. The engine's fast path
+    (:func:`_repair_buckets_device`) computes the identical summaries ON
+    DEVICE so ``own_d`` and the full (n, 8) preference matrix never cross
+    the host link — ~360 of the ~400 MB the repair phase used to pull at
+    the 10M tier (the phase was measured d-INDEPENDENT at 50-79 s: pure
+    transfer + host numpy). This wrapper is the oracle the equivalence
+    fuzz pins that path against."""
+    n = len(assign)
+    counts0 = np.bincount(assign, minlength=n_buckets)
+    # stable lexsort: equal own_d within a bucket keeps ascending item
+    # order — the exact tie-break the old per-overflow-bucket sort had
+    perm = np.lexsort((own_d, assign))
+    offs0 = np.concatenate([[0], np.cumsum(counts0[:-1])])
+    rank = np.empty(n, np.int64)
+    rank[perm] = np.arange(n) - np.repeat(offs0, counts0)
+    return _repair_from_summaries(assign, rank, counts0, top_pref,
+                                  n_buckets, capacity, min_size)
+
+
+def _repair_from_summaries(
+    assign: np.ndarray,
+    rank: np.ndarray,
+    counts0: np.ndarray,
+    top_pref,
+    n_buckets: int,
+    capacity: int,
+    min_size: int,
+) -> list[list[int]]:
+    """Capacity repair from (assign, rank-in-bucket, counts) summaries.
+    ``top_pref`` only needs ``__getitem__`` over spill items and members
+    of under-min buckets — the device path passes a :class:`_SparsePrefs`
+    holding just those rows, the oracle path passes the full matrix."""
     # vectorized grouping (a 10M-iteration python append loop costs ~10 s
     # at the top tier); stable argsort keeps ascending item order per
     # bucket — identical to the sequential appends
     order = np.argsort(assign, kind="stable")
-    counts0 = np.bincount(assign, minlength=n_buckets)
     buckets: list[list[int]] = [
         s.tolist() for s in np.split(order, np.cumsum(counts0)[:-1])]
 
@@ -737,7 +771,9 @@ def _repair_buckets(
         mem_all = np.concatenate(
             [order[offs[b]:offs[b + 1]] for b in over_b])
         bid_all = np.repeat(over_b, counts0[over_b])
-        perm = np.lexsort((own_d[mem_all], bid_all))
+        # rank is unique within a bucket and ordered by (own_d, item id),
+        # so sorting by rank reproduces the old (own_d, item-order) sort
+        perm = np.lexsort((rank[mem_all], bid_all))
         srt_all = mem_all[perm]
         bounds = np.concatenate([[0], np.cumsum(counts0[over_b])])
         for z, b in enumerate(over_b):
@@ -895,6 +931,109 @@ def _repair_buckets(
         if not changed:
             break
     return [b for b in buckets if b]
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _repair_summaries(assign, own_d, nb):
+    """On-device per-item repair summaries: bucket counts and each item's
+    rank within its bucket ordered by (own-centroid distance, item id) —
+    everything capacity repair needs from ``own_d``, in n*4 bytes instead
+    of transferring own_d itself and re-sorting on the host. The lexsort
+    is stable, so tied distances keep ascending item order — identical to
+    the host oracle's tie-break."""
+    n = assign.shape[0]
+    counts = jnp.bincount(assign, length=nb).astype(jnp.int32)
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    perm = jnp.lexsort((own_d, assign))
+    rank_vals = jnp.arange(n, dtype=jnp.int32) - jnp.repeat(
+        offs, counts, total_repeat_length=n)
+    rank = jnp.zeros(n, jnp.int32).at[perm].set(rank_vals)
+    return counts, rank
+
+
+@partial(jax.jit, static_argnames=("as_u16",))
+def _gather_pref_rows(pref, idx, as_u16):
+    """Gather preference rows for the (padded) item set repair can
+    actually read; uint16 halves the transfer when bucket ids fit."""
+    rows = pref[idx]
+    return rows.astype(jnp.uint16) if as_u16 else rows
+
+
+@jax.jit
+def _rank_u16(rank):
+    return rank.astype(jnp.uint16)
+
+
+class _SparsePrefs:
+    """Read-only stand-in for the full (n, 8) preference matrix holding
+    only the rows capacity repair can touch (items spilled from
+    over-capacity buckets + members of under-min buckets). Supports the
+    two access patterns :func:`_repair_from_summaries` uses — scalar row
+    and fancy-indexed row block."""
+
+    def __init__(self, n: int, items: np.ndarray, rows: np.ndarray):
+        self._rows = rows
+        self._idx = np.full(n, -1, np.int32)
+        self._idx[items] = np.arange(len(items), dtype=np.int32)
+
+    def __getitem__(self, i):
+        j = self._idx[i]
+        # a -1 here means the coverage argument below is violated — fail
+        # loudly rather than silently reading the last row
+        assert np.all(j >= 0), "preference row requested outside need-set"
+        return self._rows[j]
+
+
+def _repair_buckets_device(
+    assign_d: jax.Array,
+    own_d_d: jax.Array,
+    pref_d: jax.Array,
+    n_buckets: int,
+    capacity: int,
+    min_size: int,
+) -> list[list[int]]:
+    """Capacity repair with device-side summaries — placement-identical to
+    :func:`_repair_buckets` (equivalence-fuzzed) with ~5x less host-link
+    traffic: instead of pulling assign + own_d + the (n, 8) preference
+    matrix (~400 MB at the 10M tier over a ~20 MB/s link), pull assign
+    (n*4), rank-in-bucket (n*2 when buckets hold < 64k items), and
+    preference rows ONLY for the items repair can read.
+
+    Coverage argument for the sparse preference fetch: preference lists
+    are consulted for (a) items spilled from over-capacity buckets —
+    exactly the rank >= capacity members of those buckets — and (b)
+    members of dissolving under-min buckets. A dissolving bucket's
+    members at dissolve time are its original (under-min) members plus
+    items placed INTO it, and every placement source is itself (a) or
+    (b), so rows for the initial spill set plus the initial under-min
+    membership cover every access (the :class:`_SparsePrefs` assert
+    enforces this)."""
+    n = int(assign_d.shape[0])
+    counts_d, rank_d = _repair_summaries(assign_d, own_d_d, n_buckets)
+    counts0 = np.asarray(counts_d).astype(np.int64)
+    if len(counts0) and counts0.max() <= np.iinfo(np.uint16).max:
+        rank = np.asarray(_rank_u16(rank_d))
+    else:
+        rank = np.asarray(rank_d)
+    assign = np.asarray(assign_d)
+    ca = counts0[assign]
+    need = np.flatnonzero(
+        ((ca > capacity) & (rank >= capacity)) | (ca < min_size))
+    if len(need):
+        # pad the gather to power-of-two classes so the compile cache
+        # holds a handful of shapes, not one per spill-set size
+        m_pad = max(1024, 1 << int(len(need) - 1).bit_length())
+        idx = np.zeros(m_pad, np.int32)
+        idx[:len(need)] = need
+        as_u16 = n_buckets <= np.iinfo(np.uint16).max + 1
+        rows = np.asarray(_gather_pref_rows(
+            pref_d, jnp.asarray(idx), as_u16))[:len(need)]
+    else:
+        rows = np.zeros((0, int(pref_d.shape[1])), np.int32)
+    prefs = _SparsePrefs(n, need, rows)
+    return _repair_from_summaries(assign, rank, counts0, prefs,
+                                  n_buckets, capacity, min_size)
 
 
 # cluster-slab width for bf16 spill centroids: bounds the f32 accumulator
@@ -1478,13 +1617,11 @@ def constrained_ward_bucketed(
 
     _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)
     pt.tick("kmeans", sync=own_d_d)
-    buckets = _repair_buckets(
-        np.asarray(assign_d), np.asarray(own_d_d), np.asarray(pref_d),
-        n_buckets, bucket_size, min_size,
-    )
-    # the kmeans byproducts are host-side from here; drop the device copies
-    # — (n,) + (n,) + (n, 8) is ~0.5 GB at the 10M tier, which is exactly
-    # the HBM margin the spill phase later runs in
+    buckets = _repair_buckets_device(
+        assign_d, own_d_d, pref_d, n_buckets, bucket_size, min_size)
+    # the kmeans byproducts stay on device (only their summaries crossed
+    # the link); drop them — (n,) + (n,) + (n, 8) is ~0.5 GB at the 10M
+    # tier, which is exactly the HBM margin the spill phase later runs in
     del assign_d, own_d_d, pref_d
     pt.tick("bucket-repair")
 

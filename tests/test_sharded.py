@@ -659,6 +659,35 @@ class TestHostTailHelpers:
             got = sh._repair_buckets(assign, own_d, top_pref, nb, cap, mn)
             assert got == ref, f"trial {trial}"
 
+    def test_repair_device_summaries_match_oracle(self):
+        """_repair_buckets_device (on-device counts/rank + sparse
+        preference fetch) must be placement-identical to the host oracle
+        — fixtures include own_d TIES (the stable-sort tie-break must
+        match) and heavy skew (so over-capacity spills, the cursor
+        fallback, and under-min dissolves all fire). The uint16 rank and
+        pref branches are the ones a realistic nb < 64k run takes; the
+        int64-rank logic is what the oracle itself runs."""
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        rng = np.random.default_rng(5)
+        for trial in range(6):
+            n = int(rng.integers(500, 5000))
+            nb = int(rng.integers(8, 60))
+            cap = int(rng.integers(4, 24))
+            mn = int(rng.integers(1, max(2, cap // 3)))
+            w = rng.lognormal(0, 1.5, nb)
+            assign = rng.choice(nb, size=n, p=w / w.sum()).astype(np.int32)
+            own_d = rng.random(n).astype(np.float32)
+            own_d[rng.random(n) < 0.3] = 0.5  # exercise tie-breaks
+            top_pref = rng.integers(0, nb, (n, 6)).astype(np.int32)
+            ref = sh._repair_buckets(assign, own_d, top_pref, nb, cap, mn)
+            got = sh._repair_buckets_device(
+                jnp.asarray(assign), jnp.asarray(own_d),
+                jnp.asarray(top_pref), nb, cap, mn)
+            assert got == ref, f"trial {trial}"
+
     def test_repair_native_and_python_paths_agree(self, monkeypatch):
         """The native C placement loop (ic_spill_place) and the chunked
         numpy fallback must produce identical repair output — fixture
