@@ -70,6 +70,26 @@ class _PhaseTimer:
         log.info("cluster phase %-16s %7.2fs", label, now - self.t)
         self.t = now
 
+class _StepTimer(_PhaseTimer):
+    """Finer-grained opt-in timer for sub-steps INSIDE a phase
+    (IMAGECLUST_REPAIR_PROFILE=1) — same tick contract as
+    :class:`_PhaseTimer`, different env gate and log prefix."""
+
+    def __init__(self, prefix: str):
+        self.on = bool(os.environ.get("IMAGECLUST_REPAIR_PROFILE"))
+        self.prefix = prefix
+        self.t = time.perf_counter()
+
+    def tick(self, label: str, sync=None) -> None:
+        if not self.on:
+            return
+        if sync is not None:
+            np.asarray(sync)
+        now = time.perf_counter()
+        log.info("%s step %-18s %7.2fs", self.prefix, label, now - self.t)
+        self.t = now
+
+
 _TOP_PREF = 8  # per-item bucket preferences exported to the host
 
 
@@ -742,9 +762,11 @@ def _repair_from_summaries(
     # vectorized grouping (a 10M-iteration python append loop costs ~10 s
     # at the top tier); stable argsort keeps ascending item order per
     # bucket — identical to the sequential appends
+    st = _StepTimer("from-summaries")
     order = np.argsort(assign, kind="stable")
     buckets: list[list[int]] = [
         s.tolist() for s in np.split(order, np.cumsum(counts0)[:-1])]
+    st.tick("group-tolist")
 
     # Spill overflow: keep the `capacity` closest items, re-home the rest.
     # The non-preferred fallback uses a monotone cursor instead of place()'s
@@ -778,6 +800,7 @@ def _repair_from_summaries(
         bounds = np.concatenate([[0], np.cumsum(counts0[over_b])])
         for z, b in enumerate(over_b):
             spill_sorted[int(b)] = srt_all[bounds[z]:bounds[z + 1]]
+    st.tick("overflow-sort")
     # The placement loop itself runs CHUNKED-VECTORIZED with an exact-
     # semantics guard: for a chunk of spill items, every row's first
     # in-preference bucket with room is computed against the chunk-START
@@ -820,6 +843,7 @@ def _repair_from_summaries(
         placed_items.append(spill_all)
         placed_into.append(native_res[0].astype(np.int64))
         cursor = native_res[1]
+    st.tick("spill-keep+place")
 
     def _bulk_try(b: int, chunk: np.ndarray) -> bool:
         prefs = top_pref[chunk]  # (C, P)
@@ -882,6 +906,7 @@ def _repair_from_summaries(
         srt_items = items_all[o2]
         for t, s0, s1 in zip(tgt.tolist(), starts.tolist(), ends.tolist()):
             buckets[t].extend(srt_items[s0:s1].tolist())
+    st.tick("placement-apply")
 
     # Dissolve under-min buckets into the members' preferred buckets. The
     # fallback only targets buckets that are already viable (>= min_size) —
@@ -930,7 +955,151 @@ def _repair_from_summaries(
                     changed = True
         if not changed:
             break
+    st.tick("dissolve-under-min")
     return [b for b in buckets if b]
+
+
+def _repair_from_summaries_fast(
+    assign: np.ndarray,
+    rank: np.ndarray,
+    counts0: np.ndarray,
+    top_pref,
+    n_buckets: int,
+    capacity: int,
+    min_size: int,
+) -> list[np.ndarray] | None:
+    """Array-based capacity repair — placement-identical to
+    :func:`_repair_from_summaries` (the oracle the equivalence fuzz pins
+    this against) but with no per-item Python list bookkeeping: bucket
+    membership stays as numpy views/concats until the very end. At the 10M
+    tier the list path's ``tolist``/``extend`` passes measured ~19 s of
+    the repair phase (IMAGECLUST_REPAIR_PROFILE step logs in BASELINE.md);
+    this path does the same work in a handful of vectorized passes.
+
+    Requires the native placement loop (the inherently sequential part);
+    returns None when the .so is unavailable and the caller falls back to
+    the list path. Returns a list of np.ndarray member blocks (ascending
+    item order for non-overflow buckets; own-distance rank order for the
+    kept members of overflow buckets — exactly the oracle's order)."""
+    from imageclust_tpu.data.native import available, native_spill_place
+
+    if not available():
+        return None
+    st = _StepTimer("fast-repair")
+    n = len(assign)
+    counts0 = counts0.astype(np.int64)
+    order = np.argsort(assign, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(counts0)])
+    segs = np.split(order, offs[1:-1])  # views: ascending item order
+    st.tick("group")
+
+    over_b = np.flatnonzero(counts0 > capacity)
+    cnt = counts0.copy()
+    keeps: dict[int, np.ndarray] = {}
+    spill_all = np.empty(0, np.int64)
+    src_all = np.empty(0, np.int32)
+    if len(over_b):
+        # ONE stable lexsort over all overflow members by (bucket, rank):
+        # rank is unique per bucket and ordered by (own_d, item id), so
+        # this reproduces the oracle's per-bucket (own_d, item) sort
+        mem_all = np.concatenate([segs[b] for b in over_b])
+        bid_all = np.repeat(over_b, counts0[over_b])
+        perm = np.lexsort((rank[mem_all], bid_all))
+        srt_all = mem_all[perm]
+        bounds = np.concatenate([[0], np.cumsum(counts0[over_b])])
+        pos = np.arange(len(srt_all)) - np.repeat(
+            bounds[:-1], counts0[over_b])
+        keep_mask = pos < capacity
+        keeps_all = srt_all[keep_mask]
+        for z, blk in enumerate(
+                np.split(keeps_all, capacity * np.arange(1, len(over_b)))):
+            keeps[int(over_b[z])] = blk
+        # srt_all is (bucket asc, rank asc): the masked tail equals the
+        # oracle's per-bucket spill concatenation, in the same order
+        spill_all = srt_all[~keep_mask]
+        src_all = bid_all[perm][~keep_mask].astype(np.int32)
+        cnt[over_b] = capacity
+    st.tick("overflow-split")
+
+    placed_by_tgt: dict[int, np.ndarray] = {}
+    if len(spill_all):
+        res = native_spill_place(
+            top_pref[spill_all], src_all, cnt, capacity, 0)
+        if res is None:  # lib vanished between probe and call
+            return None
+        into, _ = res  # cnt now equals the live bucket lengths
+        o2 = np.argsort(into, kind="stable")
+        tgt, starts = np.unique(into[o2], return_index=True)
+        ends = np.append(starts[1:], len(o2))
+        srt_items = spill_all[o2]
+        for t, s0, s1 in zip(tgt.tolist(), starts.tolist(), ends.tolist()):
+            placed_by_tgt[t] = srt_items[s0:s1]
+    st.tick("place")
+
+    # Dissolve under-min buckets — same fixpoint loop as the oracle, but
+    # membership is materialized only for the (few) buckets that dissolve.
+    # ``lens`` IS ``cnt``: counts clipped to capacity plus placements.
+    lens = cnt
+    appends: dict[int, list] = {}
+    dissolved = np.zeros(n_buckets, bool)
+
+    def members_of(b: int) -> np.ndarray:
+        parts = []
+        if not dissolved[b]:
+            parts.append(keeps[b] if b in keeps else segs[b])
+            if b in placed_by_tgt:
+                parts.append(placed_by_tgt[b])
+        ap = appends.get(b)
+        if ap:
+            parts.append(np.asarray(ap, np.int64))
+        if not parts:
+            return np.empty(0, np.int64)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def place(i: int, avoid: int, lo: int) -> bool:
+        for nb in top_pref[i]:
+            nb = int(nb)
+            if nb != avoid and lo <= lens[nb] < capacity:
+                appends.setdefault(nb, []).append(i)
+                lens[nb] += 1
+                return True
+        mask = (lens >= lo) & (lens < capacity)
+        mask[avoid] = False
+        nb = int(np.argmax(mask))
+        if mask[nb]:
+            appends.setdefault(nb, []).append(i)
+            lens[nb] += 1
+            return True
+        return False
+
+    # appends never push a bucket under min_size and dissolves zero it, so
+    # no bucket OUTSIDE the current under-min snapshot can enter it — the
+    # ascending snapshot sweep visits exactly the buckets the oracle's
+    # range(n_buckets) sweep would (each re-checked at visit time, since an
+    # earlier dissolve may have lifted it past min_size)
+    for _ in range(n_buckets):
+        changed = False
+        for b in np.flatnonzero((lens > 0) & (lens < min_size)).tolist():
+            if not 0 < lens[b] < min_size:
+                continue
+            members = members_of(b)
+            dissolved[b] = True
+            appends[b] = []
+            lens[b] = 0
+            for i in members:
+                i = int(i)
+                if not place(i, b, min_size):
+                    if not place(i, b, 1):
+                        appends[b].append(i)  # nowhere viable: keep
+                        lens[b] += 1
+            if not lens[b]:
+                changed = True
+        if not changed:
+            break
+    st.tick("dissolve-under-min")
+    out = [members_of(b) for b in range(n_buckets) if lens[b] > 0]
+    st.tick("assemble")
+    return out
 
 
 @partial(jax.jit, static_argnames=("nb",))
@@ -972,12 +1141,20 @@ class _SparsePrefs:
     two access patterns :func:`_repair_from_summaries` uses — scalar row
     and fancy-indexed row block."""
 
-    def __init__(self, n: int, items: np.ndarray, rows: np.ndarray):
-        self._rows = rows
+    def __init__(self, n: int, items: np.ndarray, rows):
+        # ``rows`` may be the materialized array or a zero-arg thunk — the
+        # device path passes a thunk wrapping an async device->host copy so
+        # the transfer overlaps the host-side grouping work that runs
+        # before the first preference read
+        self._rows = rows if isinstance(rows, np.ndarray) else None
+        self._rows_thunk = None if isinstance(rows, np.ndarray) else rows
         self._idx = np.full(n, -1, np.int32)
         self._idx[items] = np.arange(len(items), dtype=np.int32)
 
     def __getitem__(self, i):
+        if self._rows is None:
+            self._rows = self._rows_thunk()
+            self._rows_thunk = None
         j = self._idx[i]
         # a -1 here means the coverage argument below is violated — fail
         # loudly rather than silently reading the last row
@@ -1009,31 +1186,55 @@ def _repair_buckets_device(
     (b), so rows for the initial spill set plus the initial under-min
     membership cover every access (the :class:`_SparsePrefs` assert
     enforces this)."""
+    st = _StepTimer("repair")
     n = int(assign_d.shape[0])
     counts_d, rank_d = _repair_summaries(assign_d, own_d_d, n_buckets)
     counts0 = np.asarray(counts_d).astype(np.int64)
+    st.tick("summaries+counts")
     if len(counts0) and counts0.max() <= np.iinfo(np.uint16).max:
         rank = np.asarray(_rank_u16(rank_d))
     else:
         rank = np.asarray(rank_d)
+    st.tick("rank-pull")
     assign = np.asarray(assign_d)
+    st.tick("assign-pull")
     ca = counts0[assign]
     need = np.flatnonzero(
         ((ca > capacity) & (rank >= capacity)) | (ca < min_size))
     if len(need):
-        # pad the gather to power-of-two classes so the compile cache
-        # holds a handful of shapes, not one per spill-set size
-        m_pad = max(1024, 1 << int(len(need) - 1).bit_length())
+        m = len(need)
+        if m <= (1 << 20):
+            # pad the gather to power-of-two classes so the compile cache
+            # holds a handful of shapes, not one per spill-set size
+            m_pad = max(1024, 1 << int(m - 1).bit_length())
+        else:
+            # above 1M rows switch to 1M-step rounding: these rows are the
+            # bulk of the phase's link traffic, and pow-2 padding wastes up
+            # to 2x of it (16 MB/step bound instead) for the same handful
+            # of compile-cache shape classes
+            m_pad = -(-m // (1 << 20)) << 20
         idx = np.zeros(m_pad, np.int32)
-        idx[:len(need)] = need
+        idx[:m] = need
         as_u16 = n_buckets <= np.iinfo(np.uint16).max + 1
-        rows = np.asarray(_gather_pref_rows(
-            pref_d, jnp.asarray(idx), as_u16))[:len(need)]
+        rows_d = _gather_pref_rows(pref_d, jnp.asarray(idx), as_u16)
+        try:  # start the device->host copy now; it overlaps the host-side
+            rows_d.copy_to_host_async()  # grouping work before first read
+        except Exception:
+            pass
+
+        def rows():
+            return np.asarray(rows_d)[:m]
     else:
         rows = np.zeros((0, int(pref_d.shape[1])), np.int32)
     prefs = _SparsePrefs(n, need, rows)
-    return _repair_from_summaries(assign, rank, counts0, prefs,
-                                  n_buckets, capacity, min_size)
+    st.tick("pref-gather-issue")
+    out = _repair_from_summaries_fast(assign, rank, counts0, prefs,
+                                      n_buckets, capacity, min_size)
+    if out is None:  # no native lib: the list-based path
+        out = _repair_from_summaries(assign, rank, counts0, prefs,
+                                     n_buckets, capacity, min_size)
+    st.tick("from-summaries")
+    return out
 
 
 # cluster-slab width for bf16 spill centroids: bounds the f32 accumulator
@@ -1480,7 +1681,7 @@ def _native_reconstruction(buckets, logs, steps, births, active):
     # bucket's global ids laid out in the same per-bucket regions as the
     # native output, so adding the per-entry bucket base aligns them
     members_flat = np.concatenate(
-        [np.asarray(b, np.int64) for b in buckets if b])
+        [np.asarray(b, np.int64) for b in buckets if len(b)])
     bases = np.repeat(counts_off[:-1], counts)
     members_glob = members_flat[members_loc.astype(np.int64) + bases]
     return members_glob, sizes, np.repeat(np.arange(nb), n_roots)

@@ -686,7 +686,52 @@ class TestHostTailHelpers:
             got = sh._repair_buckets_device(
                 jnp.asarray(assign), jnp.asarray(own_d),
                 jnp.asarray(top_pref), nb, cap, mn)
+            # the device path's fast repair returns np.ndarray blocks
+            got = [[int(i) for i in b] for b in got]
             assert got == ref, f"trial {trial}"
+
+    def test_repair_fast_array_path_matches_list_oracle(self):
+        """_repair_from_summaries_fast (array bookkeeping, native
+        placement) must reproduce _repair_from_summaries (list oracle)
+        member-for-member IN ORDER — overflow keeps in rank order,
+        placements in stable target-grouped order, dissolve appends in
+        processing order. Fixtures push every branch: heavy skew (mass
+        spills + cursor fallback), own_d ties, under-min tails, and
+        hot-bucket preference contention."""
+        import imageclust_tpu.cluster.sharded as sh
+        from imageclust_tpu.data import native as dn
+
+        if not dn.available():
+            pytest.skip("native runtime not built (fast path disabled)")
+        rng = np.random.default_rng(23)
+        for trial in range(14):
+            n = int(rng.integers(200, 8000))
+            nb = int(rng.integers(4, 80))
+            cap = int(rng.integers(3, 30))
+            mn = int(rng.integers(1, max(2, cap // 2)))
+            w = rng.lognormal(0, rng.uniform(0.3, 2.5), nb)
+            assign = rng.choice(nb, size=n, p=w / w.sum()).astype(np.int32)
+            own_d = rng.random(n).astype(np.float32)
+            own_d[rng.random(n) < 0.4] = 0.25  # tie-break coverage
+            kk = int(rng.integers(1, 8))
+            if trial % 2:  # contended: prefs point at the popular buckets
+                hot = np.argsort(-w)[: max(2, nb // 4)]
+                top_pref = hot[rng.integers(0, len(hot), (n, kk))]
+                top_pref = top_pref.astype(np.int32)
+            else:
+                top_pref = rng.integers(0, nb, (n, kk)).astype(np.int32)
+            counts0 = np.bincount(assign, minlength=nb).astype(np.int64)
+            perm = np.lexsort((own_d, assign))
+            offs0 = np.concatenate([[0], np.cumsum(counts0[:-1])])
+            rank = np.empty(n, np.int64)
+            rank[perm] = np.arange(n) - np.repeat(offs0, counts0)
+            ref = sh._repair_from_summaries(
+                assign, rank, counts0.copy(), top_pref, nb, cap, mn)
+            got = sh._repair_from_summaries_fast(
+                assign, rank, counts0.copy(), top_pref, nb, cap, mn)
+            assert got is not None
+            assert [[int(i) for i in b] for b in got] == ref, \
+                f"trial {trial}"
 
     def test_repair_native_and_python_paths_agree(self, monkeypatch):
         """The native C placement loop (ic_spill_place) and the chunked
