@@ -92,6 +92,12 @@ class _StepTimer(_PhaseTimer):
 
 _TOP_PREF = 8  # per-item bucket preferences exported to the host
 
+# flip to need-only preference computation above this n * n_buckets product
+# (~the point where the full-n top_k's extra HBM passes over the n*k*4-byte
+# distance stream outweigh the need-set's padded re-scan — see the
+# constrained_ward_bucketed call site for the measurements)
+_PREF_NEED_ONLY_MIN_WORK = 1 << 36
+
 
 _KMEANS_BLOCK = 1 << 16  # rows per assignment block: caps the (block, k)
 # distance tile so million-image jobs never materialize an (n, k) matrix
@@ -248,6 +254,16 @@ def _kmeans_iter(x: jax.Array, cents: jax.Array, k: int,
 
 @partial(jax.jit, static_argnames=("kk", "block"))
 def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
+    """Full-data pass: per-item assignment + own-centroid distance, and —
+    when ``kk > 0`` — the (n, kk) bucket-preference matrix.
+
+    ``kk=0`` is the need-only mode: ``top_k`` over a (block, k) tile costs
+    ~kk extra HBM passes over the n*k*4-byte distance stream (at the 10M
+    tier that stream is ~2 TB — the dominant kmeans-phase cost), yet
+    capacity repair only ever READS preference rows for items spilled from
+    over-capacity buckets or dissolving under-min buckets (~14% of rows at
+    the measured Lloyd distribution). In that mode preferences are computed
+    later, for exactly the need-set, by :func:`_pref_need_rows`."""
     n_real, _ = x.shape
     n_blocks = (n_real // block)
     tail, _ = _kmeans_tail(x, block)
@@ -256,6 +272,8 @@ def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
         d2 = _sqdist_tile(rows, cents)
         assign = jnp.argmin(d2, axis=1)
         own = jnp.take_along_axis(d2, assign[:, None], axis=1)[:, 0]
+        if kk == 0:
+            return assign, own
         _, pref = jax.lax.top_k(-d2, kk)
         return assign, own, pref
 
@@ -263,19 +281,52 @@ def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
         rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
         return None, summarize(rows)
 
-    t_assign, t_own, t_pref = summarize(tail)
+    t = summarize(tail)
     if n_blocks:
-        _, (assign, own_d, top_pref) = jax.lax.scan(
+        _, parts = jax.lax.scan(
             final_blk, None, jnp.arange(n_blocks, dtype=jnp.int32))
-        assign = jnp.concatenate([assign.reshape(-1), t_assign])[:n_real]
-        own_d = jnp.concatenate([own_d.reshape(-1), t_own])[:n_real]
+        assign = jnp.concatenate([parts[0].reshape(-1), t[0]])[:n_real]
+        own_d = jnp.concatenate([parts[1].reshape(-1), t[1]])[:n_real]
+        if kk == 0:
+            return assign, own_d, None
         top_pref = jnp.concatenate(
-            [top_pref.reshape(-1, kk), t_pref])[:n_real]
+            [parts[2].reshape(-1, kk), t[2]])[:n_real]
     else:
-        assign = t_assign[:n_real]
-        own_d = t_own[:n_real]
-        top_pref = t_pref[:n_real]
+        assign = t[0][:n_real]
+        own_d = t[1][:n_real]
+        if kk == 0:
+            return assign, own_d, None
+        top_pref = t[2][:n_real]
     return assign, own_d, top_pref
+
+
+@partial(jax.jit, static_argnames=("kk", "block", "as_u16"))
+def _pref_need_rows(x: jax.Array, cents: jax.Array, idx: jax.Array,
+                    kk: int, block: int, as_u16: bool):
+    """(m_pad, kk) bucket preferences for the gathered item set ``idx``
+    (padded to a multiple of ``block``): same centroids, same
+    :func:`_sqdist_tile` dtype path, same (block, k) tile shape as
+    :func:`_kmeans_summarize` uses for the same k (both derive ``block``
+    from :func:`_kmeans_block`'s k-cap). Values match the full-matrix
+    ``top_k`` pass up to compilation-level f32 rounding (the gathered rows
+    feed the matmul through a gather instead of a dynamic_slice, which can
+    fuse differently); near-exact ties may therefore order differently —
+    acceptable in the bucketed mode's documented approximation, and exact
+    on the f32 CPU path the equivalence tests pin. Scanned one tile at a
+    time — HBM stays O(block*k + m_pad*kk)."""
+    m_pad = idx.shape[0]
+
+    def blk(_, i):
+        take = jax.lax.dynamic_slice_in_dim(idx, i * block, block, 0)
+        rows = jnp.take(x, take, axis=0)
+        d2 = _sqdist_tile(rows, cents)
+        _, pref = jax.lax.top_k(-d2, kk)
+        return None, pref
+
+    _, prefs = jax.lax.scan(
+        blk, None, jnp.arange(m_pad // block, dtype=jnp.int32))
+    prefs = prefs.reshape(-1, kk)
+    return prefs.astype(jnp.uint16) if as_u16 else prefs
 
 
 # Lloyd fit runs on a random subsample of >= this many rows per center
@@ -337,7 +388,7 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
         cents = _kmeans_iter(fit_x, cents, k=k, block=fit_block)
     if fit_x is not x:
         del fit_x  # free the (m, d) copy before the full-data pass
-    kk = min(top_k, k)
+    kk = min(top_k, k)  # top_k=0 -> need-only mode: top_pref comes back None
     block = _kmeans_block(n_real, k, block)
     assign, own_d, top_pref = _kmeans_summarize(x, cents, kk=kk, block=block)
     return cents, assign, own_d, top_pref
@@ -593,6 +644,26 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
     chunk_w = _chunk_width(B, int(feats.shape[1]))
     if nb <= chunk_w:
         return chunk(feats, bucket_idx, counts, targets, max_size, min_size)
+    # Count-sorted chunking: each chunk's lockstep while_loop runs until its
+    # SLOWEST bucket finishes, so mixing a near-full bucket into every chunk
+    # makes all of them pay ~max-count iterations. Sorting buckets by count
+    # (descending) groups similar iteration needs per chunk — total lockstep
+    # iterations drop from chunks*max(count) toward sum of per-chunk maxima.
+    # Each bucket's own merge loop is independent of chunk placement and the
+    # outputs are restored to caller order below, so results are identical.
+    # (IMAGECLUST_SORTED_CHUNKS=0 opts out, for A/B measurement)
+    counts_h = np.asarray(counts)
+    if os.environ.get("IMAGECLUST_SORTED_CHUNKS", "1") == "0":
+        order = np.arange(nb, dtype=np.int32)
+    else:
+        order = np.argsort(-counts_h, kind="stable").astype(np.int32)
+    if not np.array_equal(order, np.arange(nb, dtype=np.int32)):
+        order_d = jnp.asarray(order)
+        bucket_idx = bucket_idx[order_d]
+        counts = counts[order_d]
+        targets = targets[order_d]
+    inv = np.empty_like(order)
+    inv[order] = np.arange(nb, dtype=np.int32)
     outs = []
     for s in range(0, nb, chunk_w):
         e = min(s + chunk_w, nb)
@@ -610,7 +681,8 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
         out = chunk(feats, bi, ct, tg, max_size, min_size)
         outs.append(out if not pad
                     else tuple(o[: e - s] for o in out))
-    return tuple(jnp.concatenate([o[i] for o in outs])
+    inv_d = jnp.asarray(inv)
+    return tuple(jnp.concatenate([o[i] for o in outs])[inv_d]
                  for i in range(len(outs[0])))
 
 
@@ -1165,10 +1237,13 @@ class _SparsePrefs:
 def _repair_buckets_device(
     assign_d: jax.Array,
     own_d_d: jax.Array,
-    pref_d: jax.Array,
+    pref_d: jax.Array | None,
     n_buckets: int,
     capacity: int,
     min_size: int,
+    feats: jax.Array | None = None,
+    cents: jax.Array | None = None,
+    top_k: int = _TOP_PREF,
 ) -> list[list[int]]:
     """Capacity repair with device-side summaries — placement-identical to
     :func:`_repair_buckets` (equivalence-fuzzed) with ~5x less host-link
@@ -1185,7 +1260,14 @@ def _repair_buckets_device(
     items placed INTO it, and every placement source is itself (a) or
     (b), so rows for the initial spill set plus the initial under-min
     membership cover every access (the :class:`_SparsePrefs` assert
-    enforces this)."""
+    enforces this).
+
+    ``pref_d=None`` is the need-only mode (pass ``feats`` + ``cents``):
+    no (n, top_k) preference matrix exists at all — the kmeans summarize
+    pass skipped its full-n ``top_k`` (the dominant kmeans-phase HBM cost
+    at the 10M tier), and this function computes preference rows on device
+    for exactly the need-set via :func:`_pref_need_rows` (same semantics;
+    see that docstring for the near-tie rounding caveat)."""
     st = _StepTimer("repair")
     n = int(assign_d.shape[0])
     counts_d, rank_d = _repair_summaries(assign_d, own_d_d, n_buckets)
@@ -1213,10 +1295,22 @@ def _repair_buckets_device(
             # to 2x of it (16 MB/step bound instead) for the same handful
             # of compile-cache shape classes
             m_pad = -(-m // (1 << 20)) << 20
-        idx = np.zeros(m_pad, np.int32)
-        idx[:m] = need
         as_u16 = n_buckets <= np.iinfo(np.uint16).max + 1
-        rows_d = _gather_pref_rows(pref_d, jnp.asarray(idx), as_u16)
+        if pref_d is None:
+            # need-only: compute the rows now, same tile geometry as the
+            # summarize pass would have used for this (n, k)
+            blk = _kmeans_block(n, n_buckets, _KMEANS_BLOCK)
+            m_pad = max(m_pad, blk)
+            m_pad = -(-m_pad // blk) * blk  # multiple of the scan tile
+            idx = np.zeros(m_pad, np.int32)
+            idx[:m] = need
+            rows_d = _pref_need_rows(feats, cents, jnp.asarray(idx),
+                                     kk=min(top_k, n_buckets), block=blk,
+                                     as_u16=as_u16)
+        else:
+            idx = np.zeros(m_pad, np.int32)
+            idx[:m] = need
+            rows_d = _gather_pref_rows(pref_d, jnp.asarray(idx), as_u16)
         try:  # start the device->host copy now; it overlaps the host-side
             rows_d.copy_to_host_async()  # grouping work before first read
         except Exception:
@@ -1225,7 +1319,9 @@ def _repair_buckets_device(
         def rows():
             return np.asarray(rows_d)[:m]
     else:
-        rows = np.zeros((0, int(pref_d.shape[1])), np.int32)
+        cols = min(top_k, n_buckets) if pref_d is None \
+            else int(pref_d.shape[1])
+        rows = np.zeros((0, cols), np.int32)
     prefs = _SparsePrefs(n, need, rows)
     st.tick("pref-gather-issue")
     out = _repair_from_summaries_fast(assign, rank, counts0, prefs,
@@ -1816,14 +1912,35 @@ def constrained_ward_bucketed(
             mesh=mesh,
         )
 
-    _, assign_d, own_d_d, pref_d = kmeans(feats, n_buckets, kmeans_iters, seed)
+    # need-only preferences: the summarize pass skips its full-n top_k —
+    # ~top_k extra HBM passes over the n*k*4-byte distance stream — and
+    # repair computes preference rows on device for just the items it can
+    # legally read (~14% of rows at the measured Lloyd distribution).
+    # Worth it only when that stream dominates the kmeans phase: measured
+    # at 10M x 512 (n*k ~ 5e11) the full top_k costs ~15-20 s, while at
+    # 2M x 512 (n*k ~ 2e10) the need pass's own padded re-scan costs MORE
+    # than it saves, so the default flips on n*k. IMAGECLUST_PREF_NEED_ONLY
+    # (1/0) overrides either way. Preference VALUES are computed from the
+    # same centroids with the same tile geometry either way; near-tie f32
+    # rounding may still differ between the two compiled programs, which
+    # in this already-approximate mode can shift a handful of placements.
+    env = os.environ.get("IMAGECLUST_PREF_NEED_ONLY")
+    if env is not None:
+        need_only = env != "0"
+    else:
+        need_only = n * n_buckets >= _PREF_NEED_ONLY_MIN_WORK
+    cents_d, assign_d, own_d_d, pref_d = kmeans(
+        feats, n_buckets, kmeans_iters, seed,
+        top_k=0 if need_only else _TOP_PREF)
     pt.tick("kmeans", sync=own_d_d)
     buckets = _repair_buckets_device(
-        assign_d, own_d_d, pref_d, n_buckets, bucket_size, min_size)
+        assign_d, own_d_d, pref_d, n_buckets, bucket_size, min_size,
+        feats=feats, cents=cents_d)
     # the kmeans byproducts stay on device (only their summaries crossed
-    # the link); drop them — (n,) + (n,) + (n, 8) is ~0.5 GB at the 10M
-    # tier, which is exactly the HBM margin the spill phase later runs in
-    del assign_d, own_d_d, pref_d
+    # the link); drop them — (n,) + (n,) + the (k, d) centroids (plus the
+    # (n, 8) matrix when need-only is off) sit in exactly the HBM margin
+    # the spill phase later runs in
+    del assign_d, own_d_d, pref_d, cents_d
     pt.tick("bucket-repair")
 
     nb = len(buckets)

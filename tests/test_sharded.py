@@ -64,6 +64,59 @@ class TestKMeans:
         pure = sum(len(set(row.tolist())) == 1 for row in a)
         assert pure >= 3
 
+    def test_need_only_prefs_match_full_matrix(self, rng):
+        """_pref_need_rows (the need-only preference pass) must produce the
+        exact rows the full-matrix top_k pass would have — same centroids,
+        same tile geometry — for every residency dtype."""
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        n, d, k = 600, 16, 7
+        base = rng.normal(size=(n, d)).astype(np.float32) * 3
+        for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+            if dt == jnp.int8:
+                x = jnp.asarray(
+                    np.clip(np.round(base * 10), -127, 127).astype(np.int8))
+            else:
+                x = jnp.asarray(base).astype(dt)
+            cents, _, _, full = kmeans(x, k, iters=4)
+            kk = int(full.shape[1])
+            blk = sh._kmeans_block(n, k, sh._KMEANS_BLOCK)
+            idx = rng.choice(n, size=137, replace=False).astype(np.int32)
+            m_pad = -(-len(idx) // blk) * blk
+            idx_pad = np.zeros(m_pad, np.int32)
+            idx_pad[:len(idx)] = idx
+            got = sh._pref_need_rows(x, cents, jnp.asarray(idx_pad),
+                                     kk=kk, block=blk, as_u16=False)
+            np.testing.assert_array_equal(
+                np.asarray(got)[:len(idx)], np.asarray(full)[idx])
+
+    def test_need_only_engine_matches_full_pref_path(self, rng, monkeypatch):
+        """The bucketed engine must produce identical clusters whether
+        repair reads the full (n, 8) preference matrix or computes rows
+        need-only (IMAGECLUST_PREF_NEED_ONLY) — skewed blobs force real
+        spills and under-min dissolves through the preference logic."""
+        centers = rng.normal(size=(6, 12)).astype(np.float32) * 8
+        sizes = [160, 90, 40, 20, 6, 2]  # heavy skew: spills guaranteed
+        x = np.concatenate([
+            c + rng.normal(size=(s, 12)).astype(np.float32) * 0.5
+            for c, s in zip(centers, sizes)])
+        perm = rng.permutation(len(x))
+        x = x[perm]
+        ids = [f"i{k}" for k in range(len(x))]
+
+        def run():
+            return constrained_ward_bucketed(
+                x, ids, min_size=3, max_size=6, bucket_size=16)
+
+        monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "0")
+        full = run()
+        monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "1")
+        need = run()
+        assert need.cluster_map == full.cluster_map
+        assert need.dropped == full.dropped
+
 
 class TestBucketed:
     def test_size_bounds_and_partition(self, rng, blobs):
