@@ -657,7 +657,8 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
         order = np.arange(nb, dtype=np.int32)
     else:
         order = np.argsort(-counts_h, kind="stable").astype(np.int32)
-    if not np.array_equal(order, np.arange(nb, dtype=np.int32)):
+    identity_order = np.array_equal(order, np.arange(nb, dtype=np.int32))
+    if not identity_order:
         order_d = jnp.asarray(order)
         bucket_idx = bucket_idx[order_d]
         counts = counts[order_d]
@@ -681,6 +682,11 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
         out = chunk(feats, bi, ct, tg, max_size, min_size)
         outs.append(out if not pad
                     else tuple(o[: e - s] for o in out))
+    if identity_order:
+        # the [inv] gather would be a full no-op copy of every
+        # (nb, steps, 3)-scale output — skip it when order is identity
+        return tuple(jnp.concatenate([o[i] for o in outs])
+                     for i in range(len(outs[0])))
     inv_d = jnp.asarray(inv)
     return tuple(jnp.concatenate([o[i] for o in outs])[inv_d]
                  for i in range(len(outs[0])))
@@ -1268,6 +1274,14 @@ def _repair_buckets_device(
     at the 10M tier), and this function computes preference rows on device
     for exactly the need-set via :func:`_pref_need_rows` (same semantics;
     see that docstring for the near-tie rounding caveat)."""
+    if pref_d is None and (feats is None or cents is None):
+        # fail fast: omitting feats/cents in need-only mode would otherwise
+        # surface as an opaque jnp.take-on-None error inside the jitted
+        # _pref_need_rows, and only when the need-set is non-empty
+        # (data-dependently)
+        raise ValueError(
+            "_repair_buckets_device: need-only mode (pref_d=None) requires "
+            "feats and cents")
     st = _StepTimer("repair")
     n = int(assign_d.shape[0])
     counts_d, rank_d = _repair_summaries(assign_d, own_d_d, n_buckets)

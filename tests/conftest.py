@@ -22,8 +22,42 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Build the native runtime up front so the native-path tests
+# (ic_spill_place, ic_reconstruct_members, fast bucket repair) never
+# silently skip: those paths carry the 10M-tier numbers and a quiet skip
+# on load-bearing code is a trap. Fails loudly unless a C++ compiler is
+# genuinely absent (minimal environments opt out implicitly).
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+
+
+def _build_native() -> None:
+    import shutil
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        return  # minimal environment: the library tests will skip
+    proc = subprocess.run(
+        ["make", "-C", str(_NATIVE_DIR)],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        print(proc.stdout, file=sys.stderr)
+        print(proc.stderr, file=sys.stderr)
+        raise RuntimeError(
+            "conftest: `make -C native` failed — the native runtime is "
+            "load-bearing for the loader/sharded tests; fix the build "
+            "rather than letting those tests skip."
+        )
+
+
+_build_native()
 
 
 @pytest.fixture(scope="session")

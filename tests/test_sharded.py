@@ -89,8 +89,25 @@ class TestKMeans:
             idx_pad[:len(idx)] = idx
             got = sh._pref_need_rows(x, cents, jnp.asarray(idx_pad),
                                      kk=kk, block=blk, as_u16=False)
-            np.testing.assert_array_equal(
-                np.asarray(got)[:len(idx)], np.asarray(full)[idx])
+            got_np = np.asarray(got)[:len(idx)]
+            full_np = np.asarray(full)[idx]
+            if np.array_equal(got_np, full_np):
+                continue
+            # Bitwise identity between the two differently-structured
+            # compiled programs (gather- vs dynamic_slice-fed matmul) is
+            # pinned only by current XLA CPU behavior — fusion may round
+            # near-ties differently on an XLA upgrade (the _pref_need_rows
+            # docstring says as much). Fall back to the semantic contract:
+            # any disagreeing position must be a swap within distances that
+            # are exactly tied at f32 resolution.
+            cf = np.asarray(cents, np.float64)
+            xf = np.asarray(x, np.float64)
+            for r in np.nonzero((got_np != full_np).any(axis=1))[0]:
+                d2 = ((xf[idx[r]] - cf) ** 2).sum(axis=1)
+                d32 = d2.astype(np.float32)
+                np.testing.assert_array_equal(
+                    d32[got_np[r]], d32[full_np[r]],
+                    err_msg="need-only row disagrees beyond tied distances")
 
     def test_need_only_engine_matches_full_pref_path(self, rng, monkeypatch):
         """The bucketed engine must produce identical clusters whether

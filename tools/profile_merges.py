@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
+    # set before any engine call site can read it (and before the heavy
+    # imports below, so nothing caches the old value)
+    import os
+    os.environ["IMAGECLUST_SORTED_CHUNKS"] = args.sort
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent.parent
@@ -63,31 +68,33 @@ def main():
         bucket_idx[i, :c] = np.arange(pos, pos + c) % n
         pos += int(c)
 
+    saved_chunk_width = sh._chunk_width
     if args.chunk:
         sh._chunk_width = lambda *a, **k: args.chunk  # noqa: test override
-    import os
-    os.environ["IMAGECLUST_SORTED_CHUNKS"] = args.sort
-    bi = jnp.asarray(bucket_idx)
-    ct = jnp.asarray(counts)
-    tg = jnp.asarray(targets)
+    try:
+        bi = jnp.asarray(bucket_idx)
+        ct = jnp.asarray(counts)
+        tg = jnp.asarray(targets)
 
-    def run():
-        out = sh._all_buckets(feats, bi, ct, tg, 6, 3)
-        return np.asarray(out[1])  # step counts: forces a real sync
+        def run():
+            out = sh._all_buckets(feats, bi, ct, tg, 6, 3)
+            return np.asarray(out[1])  # step counts: forces a real sync
 
-    t0 = time.perf_counter()
-    steps = run()
-    print(f"compile+first: {time.perf_counter() - t0:.2f}s "
-          f"(total merges {int(steps.sum())})", flush=True)
-    walls = []
-    for _ in range(args.reps):
         t0 = time.perf_counter()
-        run()
-        walls.append(time.perf_counter() - t0)
-    cw = args.chunk or sh._chunk_width(B, d)
-    print(f"nb={nb} B={B} d={d} dtype={args.dtype} chunk={cw} "
-          f"sort={args.sort}: warm {min(walls):.2f}s "
-          f"(all: {[round(w, 2) for w in walls]})")
+        steps = run()
+        print(f"compile+first: {time.perf_counter() - t0:.2f}s "
+              f"(total merges {int(steps.sum())})", flush=True)
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            run()
+            walls.append(time.perf_counter() - t0)
+        cw = args.chunk or sh._chunk_width(B, d)
+        print(f"nb={nb} B={B} d={d} dtype={args.dtype} chunk={cw} "
+              f"sort={args.sort}: warm {min(walls):.2f}s "
+              f"(all: {[round(w, 2) for w in walls]})")
+    finally:
+        sh._chunk_width = saved_chunk_width
 
 
 if __name__ == "__main__":
