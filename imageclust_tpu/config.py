@@ -174,6 +174,21 @@ class LabelConfig:
     # (rekognition.go:21, :174-260).
     max_payload_bytes: int = 5 * 1024 * 1024
     cache: bool = True
+    # Labeling-stage scaling (labels/service.py — the name_clusters
+    # treatment; the reference labels strictly serially, workflow.go:120-147):
+    # images labeled in flight at once. 8 keeps a default Rekognition
+    # account inside its TPS quota; raise with a quota increase.
+    concurrency: int = 8
+    # Upper bound on labeler requests/second across the whole job (token
+    # bucket, shared by every worker; gates only real backend calls — cache
+    # hits are free). 0 = unlimited.
+    rate_limit_rps: float = 0.0
+    # Per-image attempts before the job aborts (completed images stay in
+    # the content-hash cache, so a re-run resumes). The reference has NO
+    # labeling retries — one Rekognition failure kills the request
+    # (workflow.go:74-97).
+    retries: int = 3
+    retry_delay_s: float = 1.0
     # Scale applied to the label block before fusion. The reference
     # concatenates raw 0/1 labels against 1000-d logits whose magnitudes
     # dominate the Ward distances (embeddings.go:177-183); weight > 1 makes

@@ -64,6 +64,9 @@ class CachedLabeler:
             os.makedirs(cache_dir, exist_ok=True)
         self.hits = 0
         self.misses = 0
+        # optional shared RateLimiter (LabelingService installs it):
+        # acquired only before a real backend call, never on a cache hit
+        self.limiter = None
 
     def _cache_path(self, image_bytes: bytes) -> str:
         h = hashlib.sha256()
@@ -75,6 +78,8 @@ class CachedLabeler:
         self, image_bytes: bytes, max_labels: int, min_confidence: float
     ) -> list[Label]:
         if not self.cache_dir:
+            if self.limiter is not None:
+                self.limiter.acquire()
             return self.inner.detect_labels(image_bytes, max_labels, min_confidence)
         path = self._cache_path(image_bytes)
         if os.path.exists(path):
@@ -85,6 +90,8 @@ class CachedLabeler:
                 return [Label(d["name"], d["confidence"]) for d in data["labels"]]
             except (json.JSONDecodeError, KeyError):
                 log.warning("corrupt label cache %s — refetching", path)
+        if self.limiter is not None:
+            self.limiter.acquire()
         labels = self.inner.detect_labels(image_bytes, max_labels, min_confidence)
         self.misses += 1
         import threading

@@ -15,7 +15,6 @@ import json
 import logging
 import os
 import threading
-import time
 from concurrent.futures import ThreadPoolExecutor
 
 from imageclust_tpu.config import NamingConfig
@@ -25,34 +24,12 @@ from imageclust_tpu.naming.base import (
     ModelOutput,
     Namer,
 )
+from imageclust_tpu.utils.ratelimit import RateLimiter
 
 log = logging.getLogger(__name__)
 
 __all__ = ["NamingService", "RateLimiter", "create_naming_service",
            "build_namer"]
-
-
-class RateLimiter:
-    """Thread-safe token bucket bounding LLM requests/second across every
-    cluster and service worker. ``clock``/``sleep`` are injectable for
-    mock-clocked tests."""
-
-    def __init__(self, rps: float, clock=time.monotonic, sleep=time.sleep):
-        self.interval = 1.0 / rps if rps > 0 else 0.0
-        self._clock = clock
-        self._sleep = sleep
-        self._lock = threading.Lock()
-        self._next = clock()
-
-    def acquire(self) -> None:
-        if not self.interval:
-            return
-        with self._lock:
-            now = self._clock()
-            wait = self._next - now
-            self._next = max(self._next, now) + self.interval
-        if wait > 0:
-            self._sleep(wait)
 
 
 def build_namer(name: str, cfg: NamingConfig) -> Namer:

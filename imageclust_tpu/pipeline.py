@@ -218,12 +218,15 @@ class Pipeline:
             # all-at-once path would hold 15 GB of pixels at 100k images.
             from imageclust_tpu.data.loader import stream_decode
 
+            labeling = None
             labeler = None
             if not zero_shot_batched:
                 labeler = create_labeler(
                     cfg.labels, cache_dir if cfg.labels.cache else None,
                     embedder=self.embedder,
                 )
+                labeling = self._labeling_service(
+                    labeler, cfg.labels, total=len(sources))
             per_image_labels: list = []
 
             def chunk_iter():
@@ -233,10 +236,11 @@ class Pipeline:
                     batch=self.embedder.batch_size,
                     workers=cfg.preprocess.decode_workers,
                 ):
-                    if labeler is not None:
+                    if labeling is not None:
+                        # one service spans the whole stream: rate limiter,
+                        # retry budget, and progress are job-global
                         per_image_labels.extend(
-                            self._detect_all(labeler, chunk_blobs, cfg.labels)
-                        )
+                            labeling.detect_all(chunk_blobs))
                     yield imgs
 
             with timer.stage("embed"):
@@ -261,6 +265,8 @@ class Pipeline:
             if not zero_shot_batched:
                 label_set = self._label_set(per_image_labels, cfg.labels)
                 metrics.counters["unique_labels"] = len(label_set)
+                if hasattr(labeler, "hits"):
+                    metrics.counters["label_cache_hits"] = labeler.hits
         else:
             blobs = [
                 s if isinstance(s, (bytes, bytearray)) else _read_file(s)
@@ -272,11 +278,13 @@ class Pipeline:
                         cfg.labels, cache_dir if cfg.labels.cache else None,
                         embedder=self.embedder,
                     )
-                    per_image_labels = self._detect_all(
-                        labeler, blobs, cfg.labels
-                    )
+                    labeling = self._labeling_service(
+                        labeler, cfg.labels, total=len(blobs))
+                    per_image_labels = labeling.detect_all(blobs)
                     label_set = self._label_set(per_image_labels, cfg.labels)
                     metrics.counters["unique_labels"] = len(label_set)
+                    if hasattr(labeler, "hits"):
+                        metrics.counters["label_cache_hits"] = labeler.hits
 
             with timer.stage("decode"):
                 batch = decode_images(
@@ -422,24 +430,18 @@ class Pipeline:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _detect_all(labeler, blobs, label_cfg):
-        """Per-image labels; network labelers overlap their HTTPS calls (the
-        reference labels strictly serially, workflow.go:120-147)."""
-        from concurrent.futures import ThreadPoolExecutor
+    def _labeling_service(labeler, label_cfg, total: int):
+        """Per-image labels at scale (labels/service.py): bounded
+        configurable concurrency, shared rate limiter, retries, progress,
+        cache-backed resume — the reference labels strictly serially with
+        none of that (workflow.go:120-147). The "none" backend skips the
+        thread pool entirely (its answers are free)."""
+        from imageclust_tpu.labels.service import create_labeling_service
 
-        workers = min(8, max(1, len(blobs)))
-        if workers == 1 or label_cfg.backend in ("none",):
-            return [
-                labeler.detect_labels(b, label_cfg.max_labels,
-                                      label_cfg.min_confidence)
-                for b in blobs
-            ]
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            return list(pool.map(
-                lambda b: labeler.detect_labels(
-                    b, label_cfg.max_labels, label_cfg.min_confidence),
-                blobs,
-            ))
+        svc = create_labeling_service(labeler, label_cfg, total=total)
+        if label_cfg.backend in ("none", ""):
+            svc.concurrency = 1
+        return svc
 
     @staticmethod
     def _label_set(per_image_labels, label_cfg):
