@@ -399,6 +399,62 @@ def bench_cluster_only(n: int, d: int, bucket_size: int,
     }
 
 
+def bench_quality(n: int, d: int, sep: float, towers: str,
+                  batch_size: int) -> dict:
+    """The non-parity QUALITY scoreboard (VERDICT r3 #3): partition
+    agreement of every precision-caveated mode vs the f32 parity engine on
+    overlapping synthetic mixtures — BASELINE.md measures what the modes
+    buy; this measures what they cost. The `f32_seed_yardstick` row is the
+    reading unit: the f32 engine vs ITSELF under a different kmeans seed.
+
+    vs_baseline = (min mode ARI) / (yardstick ARI): > 1.0 means every
+    non-parity mode diverges LESS from the parity run than the engine's
+    own bucketing randomness does."""
+    from imageclust_tpu.cluster.quality import (
+        fusion_scoreboard,
+        ptq_scoreboard,
+        residency_scoreboard,
+    )
+
+    _enable_compile_cache()
+    rows = {}
+    t0 = time.perf_counter()
+    sb = residency_scoreboard(n, d, sep=sep)
+    _log(f"residency scoreboard n={n} d={d} sep={sep} "
+         f"({time.perf_counter() - t0:.1f}s):")
+    for mode, row in sb.items():
+        _log(f"  {mode}: {json.dumps(row)}")
+        if mode not in ("f32", "f32_seed_yardstick"):
+            rows[f"residency_{mode}"] = row
+    yard = sb["f32_seed_yardstick"]["ari"]
+
+    n_fuse = min(n, 5000)
+    t0 = time.perf_counter()
+    fuse = fusion_scoreboard(n_fuse, d, sep=sep)
+    _log(f"fusion text-vs-onehot n={n_fuse} "
+         f"({time.perf_counter() - t0:.1f}s): {json.dumps(fuse)}")
+    rows["fusion_text"] = fuse
+
+    for tower in [t for t in towers.split(",") if t]:
+        n_t = min(n, 10_000)
+        t0 = time.perf_counter()
+        row = ptq_scoreboard(tower, n_t, batch_size=batch_size)
+        _log(f"ptq int8 tower={tower} n={n_t} "
+             f"({time.perf_counter() - t0:.1f}s): {json.dumps(row)}")
+        rows[f"ptq_{tower}"] = row
+
+    mode_aris = {k: v["ari"] for k, v in rows.items()}
+    worst = min(mode_aris, key=mode_aris.get)
+    return {
+        "metric": f"quality_nonparity_min_ari[n{n} d{d} sep{sep}]",
+        "value": mode_aris[worst],
+        "unit": "ari_vs_f32_parity",
+        "vs_baseline": round(mode_aris[worst] / max(yard, 1e-9), 3),
+        "detail": {"worst_mode": worst, "seed_yardstick_ari": yard,
+                   "modes": rows},
+    }
+
+
 def main() -> int:
     if os.environ.get("IMAGECLUST_CLUSTER_PROFILE"):
         import logging
@@ -441,9 +497,24 @@ def main() -> int:
                         choices=["auto", "bucketed", "chain"],
                         help="cluster engine for --cluster-only")
     parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--quality", action="store_true",
+                        help="non-parity quality scoreboard: partition "
+                             "agreement of bf16/int8 residency, text "
+                             "fusion, and (--towers) int8 PTQ towers vs "
+                             "the f32 parity engine on overlapping "
+                             "mixtures")
+    parser.add_argument("--sep", type=float, default=1.0,
+                        help="mixture separation for --quality (1.0 = "
+                             "heavy overlap, >=8 = separated blobs)")
+    parser.add_argument("--towers", default="",
+                        help="comma-separated towers for the --quality "
+                             "int8 PTQ stage (e.g. resnet50,vit_b32)")
     args = parser.parse_args()
 
-    if args.decode:
+    if args.quality:
+        result = bench_quality(args.n, args.d, args.sep, args.towers,
+                               args.batch)
+    elif args.decode:
         result = bench_decode(min(args.n, 10_000), args.workers)
     elif args.e2e_real:
         result = bench_e2e_real(args.n, args.batch or 512, args.bucket,
