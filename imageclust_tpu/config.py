@@ -232,6 +232,16 @@ class NamingConfig:
     # Upper bound on LLM requests/second across all clusters and services
     # (token bucket). 0 = unlimited.
     rate_limit_rps: float = 0.0
+    # Naming budget for the million-cluster tail: the bucketed engine's 10M
+    # tier emits ~2.28M clusters, and naming each one is millions of LLM
+    # round trips nobody asked to pay for. Only the max_clusters LARGEST
+    # clusters (ties broken by cluster id, so the set is deterministic) are
+    # sent to the naming services; the rest keep their aggregated label
+    # text and render under their cluster id — an explicit, documented
+    # skip, surfaced in metrics.counters["naming_skipped"]. 0 = unlimited
+    # (the reference names everything, workflow.go:187-229; jobs that
+    # small never hit the default budget anyway).
+    max_clusters: int = 50_000
 
 
 @dataclass

@@ -86,6 +86,7 @@ class Pipeline:
         self.embedder = embedder or create_embedder(self.config.embed, mesh)
         self.naming = create_naming_service(self.config.naming)
         self._text_encoder = None  # lazy: only labels.fusion="text" pays
+        self._naming_skipped = 0  # set per run by _prepare_cluster_details
 
     def _get_text_encoder(self):
         """Text tower for dense label fusion (labels.fusion="text"), built
@@ -410,16 +411,22 @@ class Pipeline:
                 result.cluster_map, item_ids, names, per_image_labels,
                 work_dir=work_dir,
             )
+            if self._naming_skipped:
+                metrics.counters["naming_skipped"] = self._naming_skipped
 
         with timer.stage("report"):
-            # report_routes = (page_route, index_route) for job-scoped
-            # pagination links; file-relative defaults otherwise
-            page_route, index_route = report_routes or (
-                "clusters_p{page}.html", "clusters.html")
+            # report_routes = (page_route, index_route[, section_route]) for
+            # job-scoped pagination links; file-relative defaults otherwise
+            routes = tuple(report_routes or ())
+            page_route = routes[0] if routes else "clusters_p{page}.html"
+            index_route = routes[1] if len(routes) > 1 else "clusters.html"
+            section_route = (routes[2] if len(routes) > 2
+                             else "clusters_ix{sec}.html")
             html_path = write_report(
                 details, work_dir, image_route,
                 page_size=cfg.service.report_page_size,
-                page_route=page_route, index_route=index_route)
+                page_route=page_route, index_route=index_route,
+                section_route=section_route)
 
         id_to_name = dict(zip(item_ids, names))
         dropped_names = [id_to_name[i] for i in result.dropped]
@@ -505,6 +512,24 @@ class Pipeline:
             key = f"Cluster-{cluster_id}"  # workflow.go:192
             details[key] = d
             texts[key] = d.labels
+
+        # Naming budget (naming.max_clusters): at the engine's 10M tier
+        # there are ~2.28M clusters — name only the N largest (ties by
+        # cluster id: deterministic), skip the rest explicitly. Skipped
+        # clusters keep their label text and render under their cluster id.
+        budget = self.config.naming.max_clusters
+        self._naming_skipped = 0
+        if budget and len(texts) > budget:
+            keep = sorted(
+                texts,
+                key=lambda k: (-len(details[k].images),
+                               int(k.rsplit("-", 1)[-1])))[:budget]
+            self._naming_skipped = len(texts) - budget
+            log.info(
+                "naming budget: naming the %d largest of %d clusters "
+                "(%d skipped; raise naming.max_clusters to name more)",
+                budget, len(texts), self._naming_skipped)
+            texts = {k: texts[k] for k in keep}
 
         state_path = os.path.join(work_dir, "naming_state.jsonl") \
             if work_dir else None

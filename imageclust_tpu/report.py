@@ -160,6 +160,14 @@ def _cluster_sort_key(cluster_id: str):
 
 _DEFAULT_PAGE_SIZE = 500
 
+# Above this many card pages the flat index (one <li> per page) is itself
+# an unbounded document — a 10M-image job emits ~2.28M clusters = ~4,600
+# pages. The index then goes TWO-LEVEL: clusters.html lists sections of up
+# to _INDEX_FANOUT pages each (clusters_ix{s}.html), every section lists
+# its pages. Two levels bound the 500-cards/page report to
+# 200*200*500 = 20M clusters before a third level would be needed.
+_INDEX_FANOUT = 200
+
 
 def _page_url(page_route: str, page: int) -> str:
     return html.escape(page_route.format(page=page), quote=True)
@@ -179,6 +187,8 @@ def write_report(
     page_size: int = _DEFAULT_PAGE_SIZE,
     page_route: str = "clusters_p{page}.html",
     index_route: str = "clusters.html",
+    section_route: str = "clusters_ix{sec}.html",
+    index_fanout: int | None = None,
 ) -> str:
     """Write <out_dir>/clusters.html (utils.go:205-211) and return its path.
 
@@ -187,9 +197,16 @@ def write_report(
     clusters, a multi-tens-of-MB page no browser should be asked to open —
     clusters.html becomes an INDEX page and the cards are sharded into
     ``clusters_p{k}.html`` files of at most ``page_size`` clusters each,
-    with index/prev/next navigation. ``page_route`` templates the page
-    links ("clusters_p{page}.html" for file:// use;
-    "/api/view?job=X&page={page}" when served job-scoped)."""
+    with index/prev/next navigation. Beyond ``index_fanout`` pages (the
+    bucketed engine's 10M tier emits ~2.28M clusters = ~4,600 pages) the
+    index itself goes two-level: clusters.html lists SECTIONS
+    (``clusters_ix{s}.html``), each section lists its pages — every
+    document the report emits is bounded. ``page_route``/``section_route``
+    template the links ("clusters_p{page}.html" for file:// use;
+    "/api/view?job=X&page={page}" / "...&sec={sec}" when served
+    job-scoped)."""
+    if index_fanout is None:  # read at call time (tests shrink it)
+        index_fanout = _INDEX_FANOUT
     path = os.path.join(out_dir, "clusters.html")
     if len(clusters) <= page_size:
         _write_atomic(path, render_report(clusters, image_route))
@@ -224,11 +241,46 @@ def write_report(
             f"({len(ids)} clusters, {n_images} images)</li>"
         )
     total_images = sum(len(d.images) for d in clusters.values())
+    summary = (f"{len(clusters)} clusters, {total_images} images — "
+               f"paginated into {n_pages} pages of up to {page_size}")
+
+    if n_pages <= index_fanout:  # flat single-level index
+        index = _PAGE.format(
+            meta=html.escape(summary),
+            clusters='<ul class="labels">' + "".join(index_rows) + "</ul>",
+        )
+        _write_atomic(path, index)
+        return path
+
+    # two-level index: sections of up to index_fanout page rows each
+    sections = [(s, index_rows[s * index_fanout:(s + 1) * index_fanout],
+                 pages[s * index_fanout:(s + 1) * index_fanout])
+                for s in range(-(-n_pages // index_fanout))]
+    top_rows = []
+    for s, rows, sec_pages in sections:
+        first, last = sec_pages[0][0], sec_pages[-1][-1]
+        n_sec_clusters = sum(len(ids) for ids in sec_pages)
+        sec_url = html.escape(section_route.format(sec=s + 1), quote=True)
+        nav = ('<div class="meta">'
+               f'<a href="{html.escape(index_route, quote=True)}">Index</a>'
+               f" | Section {s + 1} of {len(sections)}</div>")
+        section_page = _PAGE.format(
+            meta=html.escape(
+                f"Section {s + 1}/{len(sections)}: pages "
+                f"{s * index_fanout + 1}-{s * index_fanout + len(rows)} "
+                f"({n_sec_clusters} clusters)"),
+            clusters=nav + '<ul class="labels">' + "".join(rows) + "</ul>",
+        )
+        _write_atomic(os.path.join(out_dir, f"clusters_ix{s + 1}.html"),
+                      section_page)
+        top_rows.append(
+            f'<li><a href="{sec_url}">Section {s + 1}</a>: '
+            f"{html.escape(first)} &ndash; {html.escape(last)} "
+            f"({n_sec_clusters} clusters, {len(sec_pages)} pages)</li>"
+        )
     index = _PAGE.format(
-        meta=html.escape(
-            f"{len(clusters)} clusters, {total_images} images — "
-            f"paginated into {n_pages} pages of up to {page_size}"),
-        clusters='<ul class="labels">' + "".join(index_rows) + "</ul>",
+        meta=html.escape(summary + f", indexed in {len(sections)} sections"),
+        clusters='<ul class="labels">' + "".join(top_rows) + "</ul>",
     )
     _write_atomic(path, index)
     return path

@@ -124,6 +124,7 @@ def create_app(
                     report_routes=(
                         f"/api/view?job={job.job_id}&page={{page}}",
                         f"/api/view?job={job.job_id}",
+                        f"/api/view?job={job.job_id}&sec={{sec}}",
                     ),
                 )
             _write_result(job, result)
@@ -210,6 +211,7 @@ def create_app(
                     report_routes=(
                         f"/api/view?job={job.job_id}&page={{page}}",
                         f"/api/view?job={job.job_id}",
+                        f"/api/view?job={job.job_id}&sec={{sec}}",
                     ),
                 )
         except Exception as exc:
@@ -246,12 +248,15 @@ def create_app(
         job = jobs.get(request.query.get("job"))
         if job is None or not os.path.exists(job.html_path):
             return _error(404, "No HTML file available")  # handlers.go:134
-        page = request.query.get("page")
-        if page is not None:
-            if not page.isdigit():  # int-only: no path material in the name
-                return _error(400, "invalid page")
+        # page=N -> card page; sec=N -> section index (two-level reports)
+        for param, stem in (("page", "clusters_p"), ("sec", "clusters_ix")):
+            value = request.query.get(param)
+            if value is None:
+                continue
+            if not value.isdigit():  # int-only: no path material in the name
+                return _error(400, f"invalid {param}")
             ppath = os.path.join(os.path.dirname(job.html_path),
-                                 f"clusters_p{int(page)}.html")
+                                 f"{stem}{int(value)}.html")
             if not os.path.exists(ppath):
                 return _error(404, "no such report page")
             return web.FileResponse(ppath)

@@ -506,3 +506,45 @@ class TestPaginatedView:
             assert bad.status == 400
 
         _run(_with_client(app, scenario))
+
+    def test_view_section_route(self, tmp_path, rng):
+        """Two-level index (million-cluster tail): with the fanout forced
+        to 2, 12 one-cluster pages produce 6 section files served via
+        /api/view?job=X&sec=N."""
+        import imageclust_tpu.report as report_mod
+
+        cfg = AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+            service=ServiceConfig(work_dir=str(tmp_path / "jobs"),
+                                  report_page_size=1),
+        )
+        pipeline = Pipeline(cfg, embedder=MeanColorEmbedder())
+        app = create_app(cfg, pipeline, JobStore(str(tmp_path / "jobs")))
+        names, blobs = color_group_images(rng, n_groups=12, per_group=3)
+
+        async def scenario(client):
+            resp = await client.post(
+                "/api/cluster", data=_upload_form(names, blobs, 3, 3))
+            assert resp.status == 200
+            job = (await resp.json())["jobId"]
+            idx = await client.get(f"/api/view?job={job}")
+            text = await idx.text()
+            # top index links sections, not pages
+            assert f"job={job}&amp;sec=1" in text
+            assert f"job={job}&amp;page=" not in text
+            sec = await client.get(f"/api/view?job={job}&sec=1")
+            assert sec.status == 200
+            stext = await sec.text()
+            assert f"job={job}&amp;page=1" in stext
+            missing = await client.get(f"/api/view?job={job}&sec=99")
+            assert missing.status == 404
+            bad = await client.get(f"/api/view?job={job}&sec=x1")
+            assert bad.status == 400
+
+        orig = report_mod._INDEX_FANOUT
+        report_mod._INDEX_FANOUT = 2
+        try:
+            _run(_with_client(app, scenario))
+        finally:
+            report_mod._INDEX_FANOUT = orig
