@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from imageclust_tpu.models.vit import ViTConfig, _gelu
+from imageclust_tpu.models.vit import ViTConfig, _gelu, attention
 
 __all__ = ["quantize_vit", "vit_quant_apply"]
 
@@ -129,7 +129,7 @@ def _forward(params: dict, x, cfg: ViTConfig, *, quant: bool,
         q = dense_op(p, blk, "q", y).reshape(b, t, cfg.heads, hd)
         k = dense_op(p, blk, "k", y).reshape(b, t, cfg.heads, hd)
         v = dense_op(p, blk, "v", y).reshape(b, t, cfg.heads, hd)
-        attn = jax.nn.dot_product_attention(q, k, v).reshape(b, t, cfg.width)
+        attn = attention(q, k, v).reshape(b, t, cfg.width)
         x = x + dense_op(p, blk, "proj", attn).astype(x.dtype)
         y = _ln(p["ln2"], x).astype(act_dtype)
         y = dense_op(p, blk, "mlp_up", y)

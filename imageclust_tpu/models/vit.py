@@ -15,6 +15,7 @@ present — the image has no network egress).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -28,7 +29,34 @@ __all__ = [
     "VisionTransformer",
     "VIT_CONFIGS",
     "load_clip_vision_torch",
+    "attention",
 ]
+
+# Sequences at or under this length use the fused Pallas attention kernel on
+# TPU (ops/attention.py): the whole per-(batch, head) problem is one VMEM
+# tile, so the (B, H, T, T) logits/probability planes never touch HBM.
+# Longer sequences (ViT-B/16's 197+) stay on the XLA path, which tiles them
+# properly. IMAGECLUST_VIT_ATTN=xla|fused overrides either way.
+_FUSED_ATTN_MAX_SEQ = 128
+
+
+def attention(q, k, v):
+    """Attention dispatch for the towers: fused short-seq Pallas kernel on
+    TPU when the sequence fits one VMEM tile, XLA otherwise. Layouts and
+    numerics match ``jax.nn.dot_product_attention`` (tolerance-based — op
+    order differs in the fused path; see ops/attention.py)."""
+    mode = os.environ.get("IMAGECLUST_VIT_ATTN", "")
+    use_fused = (
+        mode == "fused"
+        or (mode != "xla"
+            and q.shape[1] <= _FUSED_ATTN_MAX_SEQ
+            and jax.default_backend() == "tpu")
+    )
+    if use_fused:
+        from imageclust_tpu.ops.attention import short_seq_attention
+        return short_seq_attention(
+            q, k, v, interpret=jax.default_backend() != "tpu")
+    return jax.nn.dot_product_attention(q, k, v)
 
 
 @dataclass(frozen=True)
@@ -86,7 +114,7 @@ class EncoderBlock(nn.Module):
         q = dense(c.width, "q")(y).reshape(b, t, c.heads, head_dim)
         k = dense(c.width, "k")(y).reshape(b, t, c.heads, head_dim)
         v = dense(c.width, "v")(y).reshape(b, t, c.heads, head_dim)
-        attn = jax.nn.dot_product_attention(q, k, v)
+        attn = attention(q, k, v)
         attn = dense(c.width, "proj")(attn.reshape(b, t, c.width))
         x = x + attn.astype(x.dtype)
 
