@@ -261,9 +261,14 @@ def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
     ~kk extra HBM passes over the n*k*4-byte distance stream (at the 10M
     tier that stream is ~2 TB — the dominant kmeans-phase cost), yet
     capacity repair only ever READS preference rows for items spilled from
-    over-capacity buckets or dissolving under-min buckets (~14% of rows at
-    the measured Lloyd distribution). In that mode preferences are computed
-    later, for exactly the need-set, by :func:`_pref_need_rows`."""
+    over-capacity buckets or dissolving under-min buckets. At the 10M
+    tier's measured Lloyd distribution that need set is large (74% of
+    rows — the subsampled fit leaves very skewed bucket sizes), so the
+    need pass costs about what the full top_k did; the mode still wins
+    because the re-scan runs OVERLAPPED with the repair phase's host
+    work (see :func:`_repair_buckets_device`) instead of serially inside
+    this pass. Preferences are computed later, for exactly the need-set,
+    by :func:`_pref_need_rows`."""
     n_real, _ = x.shape
     n_blocks = (n_real // block)
     tail, _ = _kmeans_tail(x, block)
@@ -1077,17 +1082,18 @@ def _repair_from_summaries_fast(
     spill_all = np.empty(0, np.int64)
     src_all = np.empty(0, np.int32)
     if len(over_b):
-        # ONE stable lexsort over all overflow members by (bucket, rank):
-        # rank is unique per bucket and ordered by (own_d, item id), so
-        # this reproduces the oracle's per-bucket (own_d, item) sort
+        # Sort all overflow members by (bucket, rank) with ONE scatter:
+        # rank (computed on device) is unique per bucket and ordered by
+        # (own_d, item id), so position bucket_base + rank reproduces the
+        # oracle's per-bucket (own_d, item) sort — no host lexsort (which
+        # measured seconds over the ~7M-row overflow set at the 10M tier)
         mem_all = np.concatenate([segs[b] for b in over_b])
-        bid_all = np.repeat(over_b, counts0[over_b])
-        perm = np.lexsort((rank[mem_all], bid_all))
-        srt_all = mem_all[perm]
-        bounds = np.concatenate([[0], np.cumsum(counts0[over_b])])
-        pos = np.arange(len(srt_all)) - np.repeat(
-            bounds[:-1], counts0[over_b])
-        keep_mask = pos < capacity
+        oc = counts0[over_b]
+        bounds = np.concatenate([[0], np.cumsum(oc)])
+        grp = np.repeat(np.arange(len(over_b)), oc)
+        srt_all = np.empty(len(mem_all), mem_all.dtype)
+        srt_all[bounds[grp] + rank[mem_all]] = mem_all
+        keep_mask = rank[srt_all] < capacity
         keeps_all = srt_all[keep_mask]
         for z, blk in enumerate(
                 np.split(keeps_all, capacity * np.arange(1, len(over_b)))):
@@ -1095,16 +1101,18 @@ def _repair_from_summaries_fast(
         # srt_all is (bucket asc, rank asc): the masked tail equals the
         # oracle's per-bucket spill concatenation, in the same order
         spill_all = srt_all[~keep_mask]
-        src_all = bid_all[perm][~keep_mask].astype(np.int32)
+        src_all = np.repeat(over_b, oc)[~keep_mask].astype(np.int32)
         cnt[over_b] = capacity
     st.tick("overflow-split")
 
     placed_by_tgt: dict[int, np.ndarray] = {}
     if len(spill_all):
-        res = native_spill_place(
-            top_pref[spill_all], src_all, cnt, capacity, 0)
+        spill_pref = top_pref[spill_all]  # first read: blocks on the
+        st.tick("pref-wait")              # (async) device->host row copy
+        res = native_spill_place(spill_pref, src_all, cnt, capacity, 0)
         if res is None:  # lib vanished between probe and call
             return None
+        st.tick("native-place")
         into, _ = res  # cnt now equals the live bucket lengths
         o2 = np.argsort(into, kind="stable")
         tgt, starts = np.unique(into[o2], return_index=True)
@@ -1181,11 +1189,16 @@ def _repair_from_summaries_fast(
 
 
 @partial(jax.jit, static_argnames=("nb",))
-def _repair_summaries(assign, own_d, nb):
-    """On-device per-item repair summaries: bucket counts and each item's
+def _repair_summaries(assign, own_d, nb, capacity, min_size):
+    """On-device per-item repair summaries: bucket counts, each item's
     rank within its bucket ordered by (own-centroid distance, item id) —
     everything capacity repair needs from ``own_d``, in n*4 bytes instead
-    of transferring own_d itself and re-sorting on the host. The lexsort
+    of transferring own_d itself and re-sorting on the host — plus the
+    need mask (items whose preference rows repair can legally read:
+    spilled rank >= capacity members of over-capacity buckets, or members
+    of under-min buckets) and its count, so the need-only preference
+    compute can launch BEFORE the host pulls assign/rank (the mask is the
+    same predicate the host applies to the pulled copies). The lexsort
     is stable, so tied distances keep ascending item order — identical to
     the host oracle's tie-break."""
     n = assign.shape[0]
@@ -1196,7 +1209,17 @@ def _repair_summaries(assign, own_d, nb):
     rank_vals = jnp.arange(n, dtype=jnp.int32) - jnp.repeat(
         offs, counts, total_repeat_length=n)
     rank = jnp.zeros(n, jnp.int32).at[perm].set(rank_vals)
-    return counts, rank
+    ca = counts[assign]
+    need = ((ca > capacity) & (rank >= capacity)) | (ca < min_size)
+    return counts, rank, need, jnp.sum(need, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("m_pad",))
+def _need_idx(mask, m_pad):
+    """Ascending indices of the need mask, zero-padded to ``m_pad`` —
+    the device twin of the host's ``np.flatnonzero`` (both ascending, same
+    mask), used only to feed the preference-row gather."""
+    return jnp.nonzero(mask, size=m_pad, fill_value=0)[0].astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("as_u16",))
@@ -1284,54 +1307,80 @@ def _repair_buckets_device(
             "feats and cents")
     st = _StepTimer("repair")
     n = int(assign_d.shape[0])
-    counts_d, rank_d = _repair_summaries(assign_d, own_d_d, n_buckets)
+    counts_d, rank_d, need_d, m_d = _repair_summaries(
+        assign_d, own_d_d, n_buckets,
+        np.int32(capacity), np.int32(min_size))
     counts0 = np.asarray(counts_d).astype(np.int64)
+    m = int(m_d)  # scalar pull; the summaries program has already run
+    log.info("repair need-set: %d of %d rows (%.1f%%)", m, n,
+             100.0 * m / max(n, 1))
     st.tick("summaries+counts")
-    if len(counts0) and counts0.max() <= np.iinfo(np.uint16).max:
-        rank = np.asarray(_rank_u16(rank_d))
-    else:
-        rank = np.asarray(rank_d)
+    as_u16 = n_buckets <= np.iinfo(np.uint16).max + 1
+
+    def _m_pad_for(m):
+        if m <= (1 << 20):
+            # pad the gather to power-of-two classes so the compile cache
+            # holds a handful of shapes, not one per spill-set size
+            return max(1024, 1 << int(m - 1).bit_length())
+        # above 1M rows switch to 1M-step rounding: these rows are the
+        # bulk of the phase's link traffic, and pow-2 padding wastes up
+        # to 2x of it (16 MB/step bound instead) for the same handful
+        # of compile-cache shape classes
+        return -(-m // (1 << 20)) << 20
+
+    # issue the rank cast + the rank/assign D2H copies BEFORE enqueueing
+    # the preference scan: programs run in queue order on the device, so
+    # anything enqueued after the (m_pad, k) scan waits for it (measured
+    # at 10M: the rank pull absorbed the whole scan when ordered after)
+    rank_src = _rank_u16(rank_d) if (
+        len(counts0) and counts0.max() <= np.iinfo(np.uint16).max
+    ) else rank_d
+    for a in (rank_src, assign_d):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
+    rows_d = None
+    if pref_d is None and m:
+        # need-only: launch the preference-row compute NOW, fed by the
+        # device-built index set (_need_idx twins the host flatnonzero
+        # below) — the (m_pad, k) distance scan then overlaps the
+        # rank/assign pulls and all the host-side grouping work, instead
+        # of starting only after them. Same tile geometry as the
+        # summarize pass would have used for this (n, k).
+        blk = _kmeans_block(n, n_buckets, _KMEANS_BLOCK)
+        m_pad = -(-max(_m_pad_for(m), blk) // blk) * blk  # tile multiple
+        idx_d = _need_idx(need_d, m_pad)
+        rows_d = _pref_need_rows(feats, cents, idx_d,
+                                 kk=min(top_k, n_buckets), block=blk,
+                                 as_u16=as_u16)
+        try:  # start the device->host copy as soon as the compute lands
+            rows_d.copy_to_host_async()
+        except Exception:
+            pass
+    st.tick("pref-launch")
+    rank = np.asarray(rank_src)
     st.tick("rank-pull")
     assign = np.asarray(assign_d)
     st.tick("assign-pull")
     ca = counts0[assign]
     need = np.flatnonzero(
         ((ca > capacity) & (rank >= capacity)) | (ca < min_size))
-    if len(need):
-        m = len(need)
-        if m <= (1 << 20):
-            # pad the gather to power-of-two classes so the compile cache
-            # holds a handful of shapes, not one per spill-set size
-            m_pad = max(1024, 1 << int(m - 1).bit_length())
-        else:
-            # above 1M rows switch to 1M-step rounding: these rows are the
-            # bulk of the phase's link traffic, and pow-2 padding wastes up
-            # to 2x of it (16 MB/step bound instead) for the same handful
-            # of compile-cache shape classes
-            m_pad = -(-m // (1 << 20)) << 20
-        as_u16 = n_buckets <= np.iinfo(np.uint16).max + 1
-        if pref_d is None:
-            # need-only: compute the rows now, same tile geometry as the
-            # summarize pass would have used for this (n, k)
-            blk = _kmeans_block(n, n_buckets, _KMEANS_BLOCK)
-            m_pad = max(m_pad, blk)
-            m_pad = -(-m_pad // blk) * blk  # multiple of the scan tile
-            idx = np.zeros(m_pad, np.int32)
-            idx[:m] = need
-            rows_d = _pref_need_rows(feats, cents, jnp.asarray(idx),
-                                     kk=min(top_k, n_buckets), block=blk,
-                                     as_u16=as_u16)
-        else:
+    assert len(need) == m, (len(need), m)  # host/device predicate twins
+    if m:
+        if rows_d is None:  # full-pref mode: gather from the (n, kk) matrix
+            m_pad = _m_pad_for(m)
             idx = np.zeros(m_pad, np.int32)
             idx[:m] = need
             rows_d = _gather_pref_rows(pref_d, jnp.asarray(idx), as_u16)
-        try:  # start the device->host copy now; it overlaps the host-side
-            rows_d.copy_to_host_async()  # grouping work before first read
-        except Exception:
-            pass
+            try:  # start the device->host copy now; it overlaps the
+                rows_d.copy_to_host_async()  # host-side grouping work
+            except Exception:
+                pass
+        rd = rows_d
 
         def rows():
-            return np.asarray(rows_d)[:m]
+            return np.asarray(rd)[:m]
     else:
         cols = min(top_k, n_buckets) if pref_d is None \
             else int(pref_d.shape[1])
@@ -1606,6 +1655,8 @@ def _spill_rounds(
     K_CAP = 4096
     k = 0  # set on the first round from the live cluster count
     n_c = cols.num
+    stt = _StepTimer("spill-local" if item_bucket_of is not None
+                     else "spill-global")
     local = cols.bucket is not None and item_bucket_of is not None
     table_d = None
     if local and n_c and still:
@@ -1643,7 +1694,9 @@ def _spill_rounds(
         sizes[:n_c] = cols.sizes()
         if not (sizes[:n_c] < max_size).any():
             break  # genuinely full everywhere
+        stt.tick("round-sizes")
         assign = cols.assign_array(n)
+        stt.tick("assign-array")
         k = min(max(k, 8), n_c, K_CAP)
         sizes_d = jnp.asarray(sizes)
         # drop the previous round's centroid matrix BEFORE building the new
@@ -1653,6 +1706,7 @@ def _spill_rounds(
         cents_d = _spill_centroids(
             feats, jnp.asarray(assign), sizes_d, c_pad)
         cent_norms_d = _cent_norms(cents_d)
+        stt.tick("centroids-issue")
         ms = jnp.int32(max_size)
         if local:
             # own-bucket pass: candidates come from the precomputed
@@ -1698,6 +1752,7 @@ def _spill_rounds(
             cand_parts.append(out[: len(part)])
         cand = np.concatenate(cand_parts) if cand_parts else np.zeros(
             (0, k), np.int32)
+        stt.tick(f"candidates(m={len(still)},k={k})")
         room = (max_size - sizes[:n_c]).astype(np.int64)
         next_still: list[int] = []
         for row, item in enumerate(still):
@@ -1710,6 +1765,7 @@ def _spill_rounds(
             else:
                 next_still.append(item)
         placed = len(still) - len(next_still)
+        stt.tick(f"host-place(placed={placed})")
         if placed == 0:
             break  # no progress: every leftover's candidates are full
         if placed * 2 < len(still):  # contention: widen the search
@@ -1929,7 +1985,9 @@ def constrained_ward_bucketed(
     # need-only preferences: the summarize pass skips its full-n top_k —
     # ~top_k extra HBM passes over the n*k*4-byte distance stream — and
     # repair computes preference rows on device for just the items it can
-    # legally read (~14% of rows at the measured Lloyd distribution).
+    # legally read (74% of rows at the 10M tier's measured Lloyd
+    # distribution — large, but the re-scan overlaps repair's host work
+    # where the in-summarize top_k is serial device time).
     # Worth it only when that stream dominates the kmeans phase: measured
     # at 10M x 512 (n*k ~ 5e11) the full top_k costs ~15-20 s, while at
     # 2M x 512 (n*k ~ 2e10) the need pass's own padded re-scan costs MORE

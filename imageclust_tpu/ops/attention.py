@@ -61,7 +61,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("block_bh", "interpret"))
-def short_seq_attention(q, k, v, *, block_bh: int = 32,
+def short_seq_attention(q, k, v, *, block_bh: int = 0,
                         interpret: bool = False):
     """softmax(Q K^T / sqrt(Dh)) V, fused, for short sequences.
 
@@ -70,12 +70,16 @@ def short_seq_attention(q, k, v, *, block_bh: int = 32,
         towers already produce (B batch, T tokens, H heads, Dh head dim).
       block_bh: (batch, head) pairs processed per kernel program. VMEM per
         program is ~4 * block_bh * T * 128 * itemsize plus the (block_bh,
-        T, T) f32 logits tile — block_bh=32 at T=50 is ~2.5 MB.
+        T_pad, T_pad) f32 logits tile — block_bh=32 at T=50 is ~2.5 MB.
+        0 (default) picks 32 up to T=64 (the measured ViT-B/32 config) and
+        scales down quadratically-ish with T to stay a few MB.
       interpret: run the Pallas interpreter (CPU tests).
 
     Returns (B, T, H, Dh) in q's dtype.
     """
     B, T, H, Dh = q.shape
+    if block_bh == 0:
+        block_bh = 32 if T <= 64 else (16 if T <= 128 else 8)
     scale = 1.0 / math.sqrt(Dh)
     bh = B * H
 
