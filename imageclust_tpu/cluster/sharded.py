@@ -1527,6 +1527,112 @@ def _cent_norms(cents):
     return jnp.sum(jnp.square(cents.astype(jnp.float32)), axis=1)
 
 
+# member-table bound: (c_pad+1) * max_size * 4 bytes of device i32. Past it
+# (huge max_size) the table path falls back to the slab segment-sum.
+_SPILL_TABLE_BYTES = 1 << 28
+
+# f32 gather temp per slab of the table centroid pass (~0.5 GB)
+_SPILL_TABLE_SLAB_ELEMS = 1 << 27
+
+
+@partial(jax.jit, static_argnames=("c_pad", "ms"))
+def _spill_member_table(assign, c_pad, ms):
+    """(c_pad, ms) member table + per-cluster counts, built on device from
+    the assignment vector: row c lists cluster c's members ascending by
+    item id (stable sort), padded with n (the sentinel "no member").
+
+    Cluster sizes never exceed ``ms`` (= max_size) during the spill phases
+    — placements are bounded by room — but anything past ms (and every
+    unassigned item) defensively lands in a dump row that is sliced off.
+    The table is what lets every spill round rebuild all centroids with ONE
+    gather+fixed-width-reduce stream over the feature matrix instead of
+    the slab path's ~n_slabs full-matrix segment-sum scans (8 passes at
+    the 10M x 512 tier)."""
+    n = assign.shape[0]
+    a = jnp.where(assign >= 0, assign, c_pad)
+    perm = jnp.argsort(a, stable=True).astype(jnp.int32)
+    sorted_a = a[perm]
+    # scatter-free: segment starts by binary search over the sorted keys,
+    # then the table is a pure gather (an n-element scatter-set measured
+    # seconds at the 10M tier; this is ~c_pad*ms gathers)
+    offs = jnp.searchsorted(
+        sorted_a, jnp.arange(c_pad + 1, dtype=jnp.int32)).astype(jnp.int32)
+    counts = jnp.diff(
+        jnp.concatenate([offs, jnp.full(1, n, jnp.int32)])).astype(jnp.int32)
+    slots = jnp.arange(ms, dtype=jnp.int32)[None, :]
+    pos = jnp.minimum(offs[:c_pad, None] + slots, n - 1)
+    ok = slots < counts[:c_pad, None]
+    table = jnp.where(ok, perm[pos], n)
+    return table, counts[:c_pad]
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _spill_table_append(table, counts, rows, slots, items):
+    """Scatter one round's placements into the member table (slot = the
+    cluster's size at append time, so appended members keep Go append
+    order after the sorted base block). Padding entries carry row = c_pad
+    (out of range) and are dropped."""
+    table = table.at[rows, slots].set(items, mode="drop")
+    counts = counts.at[rows].add(jnp.where(rows < counts.shape[0], 1, 0),
+                                 mode="drop")
+    return table, counts
+
+
+@jax.jit
+def _sizes_from_counts(counts, n_c, max_size):
+    """Device sizes vector for the candidate masks: real clusters get their
+    live counts, padding rows read "full" (same convention as the host
+    snapshot)."""
+    c_pad = counts.shape[0]
+    return jnp.where(jnp.arange(c_pad, dtype=jnp.int32) < n_c,
+                     counts, max_size)
+
+
+@partial(jax.jit, static_argnames=("c_pad",))
+def _spill_cent_table(feats, table, counts, c_pad):
+    """All spill-round centroids (+ their squared norms) from the member
+    table: gather each cluster's <= ms rows, mask the sentinel, reduce in
+    f32, divide, cast — one pass over ~n*ms/mean_size rows of the feature
+    matrix, no scatter. Per-cluster accumulation order is the table's
+    member order (sorted base block, then appends), a different-but-
+    equivalent rounding path to the slab segment-sum's global stream order
+    — inside the residency modes' documented near-tie envelope, and exact
+    wherever sums are exactly representable (the int8 grid always;
+    integer-valued bf16 data). Norms are computed from the CAST centroids,
+    matching :func:`_cent_norms` on the returned matrix bit for bit."""
+    n, d = feats.shape
+    ms = table.shape[1]
+    out_dt = jnp.int8 if feats.dtype == jnp.int8 else jnp.bfloat16
+    C = max(1, min(c_pad, _SPILL_TABLE_SLAB_ELEMS // max(1, ms * d)))
+    n_slabs = -(-c_pad // C)
+
+    def slab(carry, j):
+        out, norms = carry
+        # clamped start: a partial final slab recomputes the overlap
+        # (identical values written twice) so every slab shape is equal
+        base = jnp.minimum(j * C, c_pad - C)
+        tb = jax.lax.dynamic_slice_in_dim(table, base, C, 0)
+        safe = jnp.minimum(tb, n - 1)
+        rows = feats[safe].astype(jnp.float32)          # (C, ms, d)
+        mask = (tb < n).astype(jnp.float32)[..., None]
+        sums = jnp.sum(rows * mask, axis=1)             # (C, d) f32
+        cnt = jax.lax.dynamic_slice_in_dim(counts, base, C, 0)
+        mean = sums / jnp.maximum(cnt, 1)[:, None].astype(jnp.float32)
+        if out_dt == jnp.int8:  # back onto the feature grid
+            mean = jnp.clip(jnp.round(mean), -127, 127)
+        cm = mean.astype(out_dt)
+        nr = jnp.sum(jnp.square(cm.astype(jnp.float32)), axis=1)
+        out = jax.lax.dynamic_update_slice(out, cm, (base, 0))
+        norms = jax.lax.dynamic_update_slice(norms, nr, (base,))
+        return (out, norms), None
+
+    out = jnp.zeros((c_pad, d), out_dt)
+    norms = jnp.zeros((c_pad,), jnp.float32)
+    (out, norms), _ = jax.lax.scan(
+        slab, (out, norms), jnp.arange(n_slabs, dtype=jnp.int32))
+    return out, norms
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _spill_candidates(feats, cents, sizes, drop_idx, k, max_size,
                       cent_norms=None):
@@ -1677,35 +1783,65 @@ def _spill_rounds(
         table = np.full((nb_max, mc), -1, np.int32)
         table[bk[order_b], _ranges(counts_b)] = order_b
         table_d = jnp.asarray(table)
+    n = feats.shape[0]
+    # static shapes: power-of-two padding below ~0.5M clusters (compile
+    # cache classes); above it, pad to a 64k multiple instead — po2
+    # nearly DOUBLES the centroid matrix at the 10M tier (2.17M live
+    # clusters -> 2^22 rows), which is the difference between the spill
+    # phase fitting next to the resident bf16 matrix and OOMing
+    if n_c > _SPILL_CENT_SLAB:
+        c_pad = -(-n_c // (1 << 16)) * (1 << 16)
+    else:
+        c_pad = 1 << max(n_c - 1, 1).bit_length()
+    # member-table centroid path (non-f32 residency, table fits): per round,
+    # centroids rebuild with one gather+reduce stream over the feature
+    # matrix instead of n_slabs full-matrix segment-sum scans, the
+    # assignment vector crosses the link once per PHASE (placement deltas
+    # scatter on device), and sizes never cross at all
+    use_table = (
+        feats.dtype != jnp.float32
+        and (c_pad + 1) * max(max_size, 1) * 4 <= _SPILL_TABLE_BYTES
+        and os.environ.get("IMAGECLUST_SPILL_TABLE", "1") != "0"
+    )
+    mt_d = mcounts_d = None
     for _ in range(len(still) + 1):
         if n_c == 0 or not still:
             break
-        n = feats.shape[0]
-        # static shapes: power-of-two padding below ~0.5M clusters (compile
-        # cache classes); above it, pad to a 64k multiple instead — po2
-        # nearly DOUBLES the centroid matrix at the 10M tier (2.17M live
-        # clusters -> 2^22 rows), which is the difference between the spill
-        # phase fitting next to the resident bf16 matrix and OOMing
-        if n_c > _SPILL_CENT_SLAB:
-            c_pad = -(-n_c // (1 << 16)) * (1 << 16)
-        else:
-            c_pad = 1 << max(n_c - 1, 1).bit_length()
         sizes = np.full(c_pad, max_size, np.int32)  # padding reads "full"
         sizes[:n_c] = cols.sizes()
         if not (sizes[:n_c] < max_size).any():
             break  # genuinely full everywhere
         stt.tick("round-sizes")
-        assign = cols.assign_array(n)
-        stt.tick("assign-array")
         k = min(max(k, 8), n_c, K_CAP)
-        sizes_d = jnp.asarray(sizes)
         # drop the previous round's centroid matrix BEFORE building the new
         # one — rebinding after the call would briefly hold two (c_pad, d)
         # generations (2 x 2.3 GB at the 10M x 512 tier)
         cents_d = cent_norms_d = None  # noqa: F841 — frees device buffers
-        cents_d = _spill_centroids(
-            feats, jnp.asarray(assign), sizes_d, c_pad)
-        cent_norms_d = _cent_norms(cents_d)
+        if use_table:
+            if mt_d is None:
+                cache = getattr(cols, "_spill_dev", None)
+                appends = int(cols._extra_count.sum())
+                if (cache is not None and cache[0] == (c_pad, max_size)
+                        and cache[3] == appends):
+                    mt_d, mcounts_d = cache[1], cache[2]
+                else:  # one assignment transfer per phase, not per round
+                    assign = cols.assign_array(n)
+                    stt.tick("assign-array")
+                    mt_d, mcounts_d = _spill_member_table(
+                        jnp.asarray(assign), c_pad, max_size)
+                cols._spill_dev = (
+                    (c_pad, max_size), mt_d, mcounts_d, appends)
+            sizes_d = _sizes_from_counts(
+                mcounts_d, jnp.int32(n_c), jnp.int32(max_size))
+            cents_d, cent_norms_d = _spill_cent_table(
+                feats, mt_d, mcounts_d, c_pad)
+        else:
+            assign = cols.assign_array(n)
+            stt.tick("assign-array")
+            sizes_d = jnp.asarray(sizes)
+            cents_d = _spill_centroids(
+                feats, jnp.asarray(assign), sizes_d, c_pad)
+            cent_norms_d = _cent_norms(cents_d)
         stt.tick("centroids-issue")
         ms = jnp.int32(max_size)
         if local:
@@ -1755,16 +1891,39 @@ def _spill_rounds(
         stt.tick(f"candidates(m={len(still)},k={k})")
         room = (max_size - sizes[:n_c]).astype(np.int64)
         next_still: list[int] = []
+        pl_rows: list[int] = []
+        pl_slots: list[int] = []
+        pl_items: list[int] = []
         for row, item in enumerate(still):
             for p in cand[row]:
                 p = int(p)
                 if 0 <= p < n_c and room[p] > 0:
                     cols.append(p, item)
                     room[p] -= 1
+                    if use_table:
+                        pl_rows.append(p)
+                        pl_slots.append(int(sizes[p]))
+                        sizes[p] += 1  # next slot; room bounds it < max
+                        pl_items.append(item)
                     break
             else:
                 next_still.append(item)
         placed = len(still) - len(next_still)
+        if use_table and placed:
+            # pad the delta scatter to power-of-two classes (row c_pad is
+            # out of table range -> dropped) so compile shapes stay few
+            w = 1 << max(placed - 1, 0).bit_length()
+            dr = np.full(w, c_pad, np.int32)
+            ds = np.zeros(w, np.int32)
+            di = np.full(w, n, np.int32)
+            dr[:placed] = pl_rows
+            ds[:placed] = pl_slots
+            di[:placed] = pl_items
+            mt_d, mcounts_d = _spill_table_append(
+                mt_d, mcounts_d, jnp.asarray(dr), jnp.asarray(ds),
+                jnp.asarray(di))
+            cols._spill_dev = ((c_pad, max_size), mt_d, mcounts_d,
+                               int(cols._extra_count.sum()))
         stt.tick(f"host-place(placed={placed})")
         if placed == 0:
             break  # no progress: every leftover's candidates are full

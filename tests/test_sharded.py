@@ -992,3 +992,135 @@ class TestInt8Residency:
         want = ((rows.astype(np.float64)[:, None, :]
                  - c8.astype(np.float64)[None, :, :]) ** 2).sum(-1)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestSpillMemberTable:
+    """Member-table spill centroids: per round, ONE gather+reduce stream
+    over the feature matrix replaces the slab path's n_slabs full-matrix
+    segment-sum scans, with the assignment crossing the link once per
+    phase. Per-cluster accumulation order is the table's member order —
+    exact wherever sums are exactly representable (the int8 grid; integer
+    bf16 data), the documented near-tie envelope otherwise."""
+
+    def test_member_table_reconstructs_membership(self):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import _spill_member_table
+
+        rng = np.random.default_rng(11)
+        n, c_pad, ms = 300, 8, 64
+        assign = rng.integers(-1, 6, n).astype(np.int32)  # -1 = unplaced
+        table, counts = _spill_member_table(jnp.asarray(assign), c_pad, ms)
+        table = np.asarray(table)
+        counts = np.asarray(counts)
+        assert table.shape == (c_pad, ms)
+        for c in range(c_pad):
+            want = np.flatnonzero(assign == c)
+            assert counts[c] == len(want)
+            got = table[c][table[c] < n]
+            np.testing.assert_array_equal(np.sort(got), want)
+            # members ascend (stable sort) and padding is the sentinel
+            np.testing.assert_array_equal(got, want)
+            assert (table[c][len(want):] == n).all()
+
+    def test_cent_table_matches_slab_path_exactly_on_grids(self):
+        """Integer-valued bf16 features: every per-cluster sum is exactly
+        representable, so the table path must equal the slab segment-sum
+        bit for bit (order-independence of exact sums)."""
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import (
+            _cent_norms, _spill_centroids, _spill_cent_table,
+            _spill_member_table)
+
+        rng = np.random.default_rng(12)
+        n, d, c_pad, ms = 500, 16, 16, 8
+        feats = jnp.asarray(
+            rng.integers(-8, 9, (n, d)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        assign = rng.permutation(
+            np.repeat(np.arange(12, dtype=np.int32), ms - 2))
+        assign = np.concatenate(
+            [assign, np.full(n - len(assign), -1, np.int32)])
+        sizes = np.zeros(c_pad, np.int32)
+        for a in assign:
+            if a >= 0:
+                sizes[a] += 1
+        ref = _spill_centroids(
+            feats, jnp.asarray(assign), jnp.asarray(sizes), c_pad)
+        ref_norms = _cent_norms(ref)
+        table, counts = _spill_member_table(jnp.asarray(assign), c_pad, ms)
+        got, norms = _spill_cent_table(feats, table, counts, c_pad)
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32))
+        np.testing.assert_array_equal(np.asarray(norms), np.asarray(ref_norms))
+
+    def test_cent_table_matches_slab_path_int8(self):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import (
+            _cent_norms, _spill_centroids, _spill_cent_table,
+            _spill_member_table)
+
+        rng = np.random.default_rng(13)
+        n, d, c_pad, ms = 400, 8, 8, 6
+        feats = jnp.asarray(rng.integers(-127, 128, (n, d)), jnp.int8)
+        assign = rng.integers(0, 7, n).astype(np.int32)
+        sizes = np.bincount(assign, minlength=c_pad).astype(np.int32)
+        ref = _spill_centroids(
+            feats, jnp.asarray(assign), jnp.asarray(sizes), c_pad)
+        table, counts = _spill_member_table(
+            jnp.asarray(assign), c_pad, 128)  # ms > max cluster count
+        got, norms = _spill_cent_table(feats, table, counts, c_pad)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_array_equal(
+            np.asarray(norms), np.asarray(_cent_norms(ref)))
+
+    def test_table_append_matches_rebuild(self):
+        """Delta scatters land appended members at the end slots; the
+        resulting membership equals a fresh table from the updated
+        assignment (as sets; slot order is sorted-base-then-appends)."""
+        import jax.numpy as jnp
+
+        from imageclust_tpu.cluster.sharded import (
+            _spill_member_table, _spill_table_append)
+
+        rng = np.random.default_rng(14)
+        n, c_pad, ms = 100, 4, 8
+        assign = rng.integers(-1, 3, n).astype(np.int32)
+        table, counts = _spill_member_table(jnp.asarray(assign), c_pad, ms)
+        # place 3 unassigned items into cluster 3 (empty so far)
+        free = np.flatnonzero(assign < 0)[:3]
+        rows = jnp.asarray(np.array([3, 3, 3], np.int32))
+        slots = jnp.asarray(np.array([0, 1, 2], np.int32))
+        items = jnp.asarray(free.astype(np.int32))
+        table, counts = _spill_table_append(table, counts, rows, slots,
+                                            items)
+        assign2 = assign.copy()
+        assign2[free] = 3
+        want_t, want_c = _spill_member_table(jnp.asarray(assign2), c_pad, ms)
+        np.testing.assert_array_equal(np.asarray(counts),
+                                      np.asarray(want_c))
+        t, w = np.asarray(table), np.asarray(want_t)
+        for c in range(c_pad):
+            np.testing.assert_array_equal(np.sort(t[c][t[c] < n]),
+                                          np.sort(w[c][w[c] < n]))
+
+    def test_engine_table_vs_slab_partitions_on_grid(self, monkeypatch):
+        """End to end: bf16 residency on an integer grid (exact sums ->
+        both spill-centroid paths identical), with data shaped to force
+        spill rounds. Partitions must match exactly."""
+        from imageclust_tpu.cluster.sharded import constrained_ward_bucketed
+
+        rng = np.random.default_rng(15)
+        x = rng.integers(-6, 7, (500, 16)).astype(np.float32)
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("IMAGECLUST_SPILL_TABLE", flag)
+            res = constrained_ward_bucketed(
+                x, min_size=3, max_size=6, bucket_size=64,
+                feature_dtype="bfloat16")
+            assert len(res.dropped) == 0
+            outs[flag] = {k: tuple(sorted(v))
+                          for k, v in res.cluster_map.items()}
+        assert set(outs["0"].values()) == set(outs["1"].values())
