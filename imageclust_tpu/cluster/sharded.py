@@ -605,6 +605,30 @@ def _bucket_chunk_fused(feats, bucket_idx, counts, targets, max_size,
     return carry[7], carry[8], carry[2], carry[1], carry[4]
 
 
+@partial(jax.jit, static_argnames=("absorb", "interpret"),
+         donate_argnums=())
+def _bucket_chunk_whole(feats, bucket_idx, counts, targets, max_size,
+                        min_size, absorb=True, interpret=False):
+    """The whole-loop-in-VMEM form of :func:`_bucket_chunk`: every bucket's
+    COMPLETE merge loop (main + absorb) runs inside one Pallas program
+    (ops.pallas_kernels.merge_loop_whole) with the (B, B) matrix resident
+    in VMEM scratch — it crosses HBM once per bucket instead of once per
+    lockstep merge iteration (the dominant HBM traffic + per-iteration
+    dispatch overhead of the 10M tier's bucket-merges phase under
+    :func:`_bucket_chunk_fused`). Lance-Williams only (the recurrence
+    never reads centroids); results are identical to the other two loop
+    forms — test-pinned. Requires B % 128 == 0."""
+    from imageclust_tpu.ops.pallas_kernels import merge_loop_whole
+
+    xs = feats[bucket_idx].astype(jnp.float32)  # (C, B, d)
+    D = jax.vmap(pairwise_ward_singleton)(xs)
+    del xs
+    amin = jnp.where(jnp.bool_(absorb), jnp.asarray(min_size, jnp.int32),
+                     jnp.int32(0))
+    return merge_loop_whole(D, counts, targets, max_size, amin,
+                            interpret=interpret)
+
+
 def _chunk_width(bucket_size: int, d: int) -> int:
     """Buckets per dispatch. Two forces: the per-chunk working set
     (gathered rows chunk*B*d + distance matrices chunk*B^2) must stay
@@ -620,6 +644,18 @@ def _chunk_width(bucket_size: int, d: int) -> int:
     # overrode the cap: with B=4096 buckets of 67 MB it gathered ~16 GB per
     # dispatch, and past B=32k the shift count went negative)
     return min(4096, 1 << (cap.bit_length() - 1))
+
+
+def _chunk_width_whole(bucket_size: int, d: int) -> int:
+    """Buckets per dispatch for the whole-loop kernel path. Unlike the
+    lockstep loop, one dispatch runs each bucket's ENTIRE merge loop, so
+    there is no per-iteration overhead to amortize with width — the cap
+    only bounds the dispatch working set (gathered rows C*B*d + matrices
+    C*B^2 + the (C, B, 128) log block) to ~1 GB so the transient never
+    crowds the resident feature matrix at the 10M tiers."""
+    per_bucket = bucket_size * 4 * (d + bucket_size + 128)
+    cap = max(1, (1 << 30) // max(1, per_bucket))
+    return min(1024, 1 << (cap.bit_length() - 1))
 
 
 def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
@@ -638,15 +674,24 @@ def _all_buckets(feats, bucket_idx, counts, targets, max_size, min_size,
     from imageclust_tpu.cluster.ward import _use_fused_loop
 
     B = int(bucket_idx.shape[1])
+    whole = False
     if B >= 128 and B % 128 == 0 and _use_fused_loop():
         interp = jax.default_backend() != "tpu"
-        chunk = partial(_bucket_chunk_fused, update_rule=update_rule,
-                        absorb=absorb, interpret=interp)
+        if (update_rule == "lance_williams"
+                and os.environ.get("IMAGECLUST_WHOLE_MERGE", "1") != "0"):
+            chunk = partial(_bucket_chunk_whole, absorb=absorb,
+                            interpret=interp)
+            whole = True
+        else:
+            chunk = partial(_bucket_chunk_fused, update_rule=update_rule,
+                            absorb=absorb, interpret=interp)
     else:
         chunk = partial(_bucket_chunk, update_rule=update_rule,
                         absorb=absorb)
     nb = bucket_idx.shape[0]
-    chunk_w = _chunk_width(B, int(feats.shape[1]))
+    d_feat = int(feats.shape[1])
+    chunk_w = _chunk_width_whole(B, d_feat) if whole \
+        else _chunk_width(B, d_feat)
     if nb <= chunk_w:
         return chunk(feats, bucket_idx, counts, targets, max_size, min_size)
     # Count-sorted chunking: each chunk's lockstep while_loop runs until its

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["masked_argmin_pair_xla", "merge_update_argmin",
-           "merge_update_argmin_batched"]
+           "merge_update_argmin_batched", "merge_loop_whole"]
 
 _STRIPE = 128
 _BIG_I32 = np.int32(2**31 - 1)
@@ -348,3 +348,201 @@ def merge_update_argmin_batched(D, dvec, sa, do_update, births, sizes,
     m2 = jnp.min(jnp.where(at & (p_hi == m1[:, None]), p_lo, _BIG_I32),
                  axis=1)
     return D_new, dmin, m1, m2
+
+
+def _whole_loop_kernel(params_ref, ms_ref, am_ref, D_ref,
+                       log_ref, births_ref, sizes_ref, active_ref, misc_ref,
+                       Ds, scal):
+    """The ENTIRE per-bucket merge loop (main + absorb phase) in one kernel
+    program: grid axis 0 is the bucket. The bucket's (B, B) distance matrix
+    is copied to VMEM scratch ONCE and every merge iteration runs against
+    it there — vs :func:`merge_update_argmin_batched`'s lockstep loop that
+    streams every bucket matrix through HBM once per merge (the dominant
+    cost of the 10M tier's bucket-merges phase). Lance-Williams only: the
+    recurrence reads two rows of D, never the centroids.
+
+    State layout: per-bucket scalars ride a (1, 128) VMEM plane (lane 0 =
+    count, lane 1 = target; TPU pallas cannot lower size-1 SMEM blocks of a
+    per-bucket array); loop scalars live in SMEM scratch (0 = birth counter,
+    1 = num_active, 2 = step, 3 = found); sizes/births/active are built
+    in-kernel and written to their output blocks, which double as the loop's
+    working state.
+    """
+    i32 = jnp.int32
+    f32 = jnp.float32
+    B = D_ref.shape[1]
+    p = params_ref[0]
+    cnt = p[0, 0]
+    tgt = p[0, 1]
+    max_size = ms_ref[0]
+    amin = am_ref[0]
+
+    lane = jax.lax.broadcasted_iota(i32, (1, B), 1)
+    lane128 = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+    act0 = lane < cnt
+    Ds[...] = D_ref[0]
+    sizes_ref[0] = jnp.where(act0, 1, 0).astype(i32)
+    births_ref[0] = jnp.where(act0, lane, _BIG_I32 - B + lane)
+    active_ref[0] = act0.astype(i32)
+    log_ref[...] = jnp.zeros(log_ref.shape, i32)
+    scal[0] = cnt   # birth counter
+    scal[1] = cnt   # num_active
+    scal[2] = 0     # step (merges performed)
+    scal[3] = 1     # found
+
+    row_ids = jax.lax.broadcasted_iota(i32, (B, B), 0)
+    col_ids = jax.lax.broadcasted_iota(i32, (B, B), 1)
+
+    def merge_once(use_amin):
+        """One gated merge step against the VMEM-resident state. The
+        arithmetic mirrors cluster.ward._merge_body expression for
+        expression (the bit-parity invariant: all loop forms must round
+        identically)."""
+        births = births_ref[0]   # (1, B)
+        sizes = sizes_ref[0]
+        active = active_ref[0]
+        d = Ds[...]
+        births_r = jnp.broadcast_to(births.reshape(B, 1), (B, B))
+        births_c = jnp.broadcast_to(births, (B, B))
+        sizes_r = jnp.broadcast_to(sizes.reshape(B, 1), (B, B))
+        sizes_c = jnp.broadcast_to(sizes, (B, B))
+        act_r = jnp.broadcast_to(active.reshape(B, 1), (B, B)) > 0
+        act_c = jnp.broadcast_to(active, (B, B)) > 0
+        ok = act_r & act_c & (row_ids != col_ids)
+        ok &= (sizes_r + sizes_c) <= max_size
+        if use_amin:
+            ok &= (sizes_r < amin) | (sizes_c < amin)
+        e = jnp.where(ok, d, jnp.inf)
+        dmin = jnp.min(e)
+        fin = jnp.isfinite(dmin)
+        scal[3] = fin.astype(i32)
+
+        @pl.when(fin)
+        def _():
+            tie = ok & (e == dmin)
+            bhi = jnp.maximum(births_r, births_c)
+            blo = jnp.minimum(births_r, births_c)
+            m1 = jnp.min(jnp.where(tie, bhi, _BIG_I32))
+            m2 = jnp.min(jnp.where(tie & (bhi == m1), blo, _BIG_I32))
+            is_a = births == m1   # births are unique within a bucket
+            is_b = births == m2
+            sa = jnp.min(jnp.where(is_a, lane, _BIG_I32))
+            sb = jnp.min(jnp.where(is_b, lane, _BIG_I32))
+            s_a = jnp.sum(jnp.where(is_a, sizes, 0))
+            s_b = jnp.sum(jnp.where(is_b, sizes, 0))
+            s_new = s_a + s_b
+            d_a = Ds[pl.ds(sa, 1), :]   # (1, B)
+            d_b = Ds[pl.ds(sb, 1), :]
+            d_ab = jnp.sum(jnp.where(is_b, d_a, 0.0))
+            sizes_f = sizes.astype(f32)
+            # ward_update_vector("lance_williams"), same expression tree
+            dvec = ((s_a.astype(f32) + sizes_f) * d_a
+                    + (s_b.astype(f32) + sizes_f) * d_b
+                    - sizes_f * d_ab) / (s_new.astype(f32) + sizes_f)
+            dvec = jnp.where(is_a, 0.0, dvec)
+
+            new_birth = scal[0]
+            dcol = jnp.broadcast_to(dvec.reshape(B, 1), (B, B))
+            drow = jnp.broadcast_to(dvec, (B, B))
+            d2 = jnp.where(col_ids == sa, dcol, d)
+            d2 = jnp.where(row_ids == sa, drow, d2)
+            Ds[...] = d2
+            sizes_ref[0] = jnp.where(is_a, s_new, jnp.where(is_b, 0, sizes))
+            births_ref[0] = jnp.where(is_a, new_birth, births)
+            active_ref[0] = jnp.where(is_b, 0, active)
+            stp = scal[2]
+            log_ref[0, pl.ds(stp, 1), :] = jnp.where(
+                lane128 == 0, m1,
+                jnp.where(lane128 == 1, m2,
+                          jnp.where(lane128 == 2, new_birth, 0)))
+            scal[0] = new_birth + 1
+            scal[1] = scal[1] - 1
+            scal[2] = stp + 1
+
+    def main_trip(i, c):
+        run = (scal[3] > 0) & (scal[1] > tgt)
+
+        @pl.when(run)
+        def _():
+            merge_once(False)
+        return c
+
+    jax.lax.fori_loop(0, B - 1, main_trip, 0)
+
+    @pl.when(amin > 0)
+    def _():
+        scal[3] = 1
+
+    def absorb_trip(i, c):
+        has_under = jnp.any((active_ref[0] > 0) & (sizes_ref[0] < amin))
+        run = (amin > 0) & (scal[3] > 0) & has_under
+
+        @pl.when(run)
+        def _():
+            merge_once(True)
+        return c
+
+    jax.lax.fori_loop(0, B - 1, absorb_trip, 0)
+    misc_ref[0] = jnp.where(lane128 == 0, scal[2], 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_loop_whole(D, counts, targets, max_size, absorb_min,
+                     interpret=False):
+    """Run every bucket's COMPLETE merge loop inside one Pallas program
+    (grid = bucket): the (B, B) matrix crosses HBM once instead of once
+    per merge iteration. Lance-Williams update rule only. Shapes: D
+    (C, B, B) f32 with B % 128 == 0; counts/targets (C,) i32; max_size i32
+    scalar; absorb_min i32 scalar (<= 0 disables the absorb phase).
+    Returns (log (C, max(B-1,1), 3) i32, step (C,), births (C, B),
+    sizes (C, B), active (C, B) bool) — the `_bucket_merge_loop` contract.
+    """
+    C, B, _ = D.shape
+    i32 = jnp.int32
+    f32 = jnp.float32
+    params = jnp.zeros((C, 1, 128), i32)
+    params = params.at[:, 0, 0].set(jnp.asarray(counts, i32).reshape(C))
+    params = params.at[:, 0, 1].set(jnp.asarray(targets, i32).reshape(C))
+    ms = jnp.reshape(jnp.asarray(max_size, i32), (1,))
+    am = jnp.reshape(jnp.asarray(absorb_min, i32), (1,))
+
+    log, births, sizes, active, misc = pl.pallas_call(
+        _whole_loop_kernel,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # per-bucket scalars
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, B), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # D
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # log
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # births
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # sizes
+            pl.BlockSpec((1, 1, B), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # active
+            pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),   # misc (step)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, B, 128), i32),
+            jax.ShapeDtypeStruct((C, 1, B), i32),
+            jax.ShapeDtypeStruct((C, 1, B), i32),
+            jax.ShapeDtypeStruct((C, 1, B), i32),
+            jax.ShapeDtypeStruct((C, 1, 128), i32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, B), f32),
+            pltpu.SMEM((8,), i32),
+        ],
+        interpret=interpret,
+    )(params, ms, am, D.astype(f32))
+
+    n_log = max(B - 1, 1)
+    return (log[:, :n_log, :3], misc[:, 0, 0], births[:, 0], sizes[:, 0],
+            active[:, 0] > 0)

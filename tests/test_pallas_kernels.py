@@ -206,3 +206,50 @@ class TestFusedBucketLoop:
         ref = sh.constrained_ward_bucketed(
             x, min_size=3, max_size=6, bucket_size=64)
         assert res.cluster_map == ref.cluster_map
+
+
+class TestWholeBucketLoop:
+    """The whole-loop-in-VMEM kernel (merge_loop_whole) must be
+    result-identical to both the vmapped unfused loop and the lockstep
+    fused-step loop — cluster ids, member order, merge logs, drops."""
+
+    def test_whole_equals_unfused_and_fused_step(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        feats = jnp.asarray(rng.normal(size=(3 * 128, 16))
+                            .astype(np.float32))
+        bucket_idx = jnp.arange(3 * 128, dtype=jnp.int32).reshape(3, 128)
+        counts = jnp.asarray([128, 37, 5], jnp.int32)
+        targets = jnp.asarray([25, 9, 1], jnp.int32)
+        args = (feats, bucket_idx, counts, targets,
+                jnp.int32(6), jnp.int32(3))
+        for absorb in (True, False):
+            ref = sh._bucket_chunk(*args, update_rule="lance_williams",
+                                   absorb=absorb)
+            stepped = sh._bucket_chunk_fused(
+                *args, update_rule="lance_williams", absorb=absorb,
+                interpret=True)
+            whole = sh._bucket_chunk_whole(*args, absorb=absorb,
+                                           interpret=True)
+            for a, b, c in zip(ref, stepped, whole):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_whole_merge_env_opt_out(self, rng, monkeypatch):
+        # IMAGECLUST_WHOLE_MERGE=0 falls back to the lockstep fused-step
+        # loop; results must not change either way.
+        import imageclust_tpu.cluster.sharded as sh
+
+        x = rng.normal(size=(300, 8)).astype(np.float32)
+        monkeypatch.setenv("IMAGECLUST_FUSED_MERGE", "1")
+        monkeypatch.setenv("IMAGECLUST_WHOLE_MERGE", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=128)
+        monkeypatch.setenv("IMAGECLUST_WHOLE_MERGE", "1")
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=128)
+        assert got.cluster_map == ref.cluster_map
+        assert got.dropped == ref.dropped
+        np.testing.assert_array_equal(got.merges, ref.merges)
