@@ -334,6 +334,75 @@ def _pref_need_rows(x: jax.Array, cents: jax.Array, idx: jax.Array,
     return prefs.astype(jnp.uint16) if as_u16 else prefs
 
 
+# fused pref-scan row-block height: 512 rows x (128 + 512) lanes of f32
+# work planes plus the resident row block stays ~6 MB of VMEM
+_PREF_FUSED_ROWS = 512
+
+
+def _use_pref_fused(k: int) -> tuple[bool, bool]:
+    """(use fused pref scan, interpret mode). Default: on-TPU whenever k is
+    large enough that XLA's k-lane ``top_k`` dominates the scan (the fused
+    kernel's win grows with k; below a few thousand buckets the XLA tile
+    path is already cheap). IMAGECLUST_PREF_FUSED=0 opts out; =1 forces it
+    (interpret mode off-TPU, for tests) — same contract as
+    IMAGECLUST_FUSED_MERGE."""
+    flag = os.environ.get("IMAGECLUST_PREF_FUSED", "")
+    if flag == "0":
+        return False, False
+    if flag == "1":
+        return True, jax.default_backend() != "tpu"
+    return jax.default_backend() == "tpu" and k >= 4096, False
+
+
+@partial(jax.jit,
+         static_argnames=("kk", "block_c", "as_u16", "interpret"))
+def _pref_need_rows_fused(x: jax.Array, cents: jax.Array, idx: jax.Array,
+                          kk: int, block_c: int, as_u16: bool,
+                          interpret: bool):
+    """Fused-kernel twin of :func:`_pref_need_rows`: same (m_pad, kk)
+    result contract, computed by :func:`pref_topk_block` — the (block, k)
+    distance tile never materializes and XLA's k-lane ``top_k`` is replaced
+    by the kernel's streaming 8-best merge. Same centroid compute-dtype
+    paths as :func:`_sqdist_tile` (bf16 rows x bf16 cents, int8 x int8 ->
+    int32, f32 exact) and the same score expression tree — the only
+    rounding difference vs the tile path is MXU-accumulation order inside
+    the gram: the same documented near-tie envelope as need-only mode
+    itself."""
+    from imageclust_tpu.ops.pallas_kernels import pref_topk_block
+
+    m_pad = idx.shape[0]
+    rows_blk = min(_PREF_FUSED_ROWS, m_pad)
+    d = x.shape[1]
+    d_pad = ((d + 127) // 128) * 128
+    k = cents.shape[0]
+    k_pad = ((k + block_c - 1) // block_c) * block_c
+    if x.dtype == jnp.int8:
+        c = jnp.clip(jnp.round(cents.astype(jnp.float32)),
+                     -127, 127).astype(jnp.int8)
+    elif x.dtype == jnp.bfloat16:
+        c = cents.astype(jnp.bfloat16)
+    else:
+        c = cents.astype(jnp.float32)
+    cn = jnp.sum(jnp.square(c.astype(jnp.float32)), axis=1)
+    if k_pad != k or d_pad != d:
+        c = jnp.pad(c, ((0, k_pad - k), (0, d_pad - d)))
+        cn = jnp.pad(cn, (0, k_pad - k), constant_values=jnp.inf)
+
+    def blk(_, i):
+        take = jax.lax.dynamic_slice_in_dim(idx, i * rows_blk, rows_blk, 0)
+        rows = jnp.take(x, take, axis=0)
+        if d_pad != d:
+            rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+        pref = pref_topk_block(rows, c, cn, kk=kk, block_c=block_c,
+                               interpret=interpret)
+        return None, pref
+
+    _, prefs = jax.lax.scan(
+        blk, None, jnp.arange(m_pad // rows_blk, dtype=jnp.int32))
+    prefs = prefs.reshape(-1, kk)
+    return prefs.astype(jnp.uint16) if as_u16 else prefs
+
+
 # Lloyd fit runs on a random subsample of >= this many rows per center
 # (ONE full-data assignment pass always follows). 32/center keeps the
 # centroid estimates stable for bucketing while cutting the dominant
@@ -1393,12 +1462,20 @@ def _repair_buckets_device(
         # rank/assign pulls and all the host-side grouping work, instead
         # of starting only after them. Same tile geometry as the
         # summarize pass would have used for this (n, k).
-        blk = _kmeans_block(n, n_buckets, _KMEANS_BLOCK)
-        m_pad = -(-max(_m_pad_for(m), blk) // blk) * blk  # tile multiple
-        idx_d = _need_idx(need_d, m_pad)
-        rows_d = _pref_need_rows(feats, cents, idx_d,
-                                 kk=min(top_k, n_buckets), block=blk,
-                                 as_u16=as_u16)
+        fused, fused_interp = _use_pref_fused(n_buckets)
+        if fused:
+            m_pad = -(-_m_pad_for(m) // _PREF_FUSED_ROWS) * _PREF_FUSED_ROWS
+            idx_d = _need_idx(need_d, m_pad)
+            rows_d = _pref_need_rows_fused(
+                feats, cents, idx_d, kk=min(top_k, n_buckets),
+                block_c=512, as_u16=as_u16, interpret=fused_interp)
+        else:
+            blk = _kmeans_block(n, n_buckets, _KMEANS_BLOCK)
+            m_pad = -(-max(_m_pad_for(m), blk) // blk) * blk  # tile mult
+            idx_d = _need_idx(need_d, m_pad)
+            rows_d = _pref_need_rows(feats, cents, idx_d,
+                                     kk=min(top_k, n_buckets), block=blk,
+                                     as_u16=as_u16)
         try:  # start the device->host copy as soon as the compute lands
             rows_d.copy_to_host_async()
         except Exception:

@@ -253,3 +253,104 @@ class TestWholeBucketLoop:
         assert got.cluster_map == ref.cluster_map
         assert got.dropped == ref.dropped
         np.testing.assert_array_equal(got.merges, ref.merges)
+
+
+class TestPrefTopkFused:
+    """The fused nearest-bucket top-k scan (pref_topk_block /
+    _pref_need_rows_fused). Test data is INTEGER-VALUED so every f32
+    intermediate on every path is exact — ordering and index tie-breaks
+    are then fully pinned (ascending distance, ties by ascending centroid
+    index), with no near-tie rounding escape hatch needed."""
+
+    @staticmethod
+    def _oracle(x, c, kk):
+        # exact integer arithmetic in float64; ties -> ascending index
+        scores = (c.astype(np.float64) ** 2).sum(1)[None, :] \
+            - 2.0 * x.astype(np.float64) @ c.astype(np.float64).T
+        out = np.empty((x.shape[0], kk), np.int32)
+        for r in range(x.shape[0]):
+            out[r] = np.lexsort((np.arange(c.shape[0]), scores[r]))[:kk]
+        return out
+
+    def test_kernel_matches_oracle_multichunk(self, rng):
+        from imageclust_tpu.ops.pallas_kernels import pref_topk_block
+
+        R, d, k, kk, blk = 16, 128, 384, 8, 128  # 3 centroid chunks
+        x = rng.integers(-20, 20, (R, d)).astype(np.float32)
+        c = rng.integers(-20, 20, (k, d)).astype(np.float32)
+        cn = (c.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        got = pref_topk_block(jnp.asarray(x), jnp.asarray(c),
+                              jnp.asarray(cn), kk=kk, block_c=blk,
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      self._oracle(x, c, kk))
+
+    def test_kernel_exact_ties_break_by_index(self, rng):
+        from imageclust_tpu.ops.pallas_kernels import pref_topk_block
+
+        # duplicate centroids across DIFFERENT chunks: equal distances
+        # must order by ascending global centroid index
+        R, d, kk, blk = 8, 128, 4, 128
+        base = rng.integers(-5, 5, (blk, d)).astype(np.float32)
+        c = np.concatenate([base, base])  # chunk 2 duplicates chunk 1
+        x = rng.integers(-5, 5, (R, d)).astype(np.float32)
+        cn = (c ** 2).sum(1).astype(np.float32)
+        got = np.asarray(pref_topk_block(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(cn), kk=kk,
+            block_c=blk, interpret=True))
+        np.testing.assert_array_equal(got, self._oracle(x, c, kk))
+        # each tied twin-pair appears lower-index first, adjacent
+        np.testing.assert_array_equal(got[:, 1], got[:, 0] + blk)
+        np.testing.assert_array_equal(got[:, 3], got[:, 2] + blk)
+        assert got[:, 0].max() < blk and got[:, 2].max() < blk
+
+    def test_need_rows_fused_matches_tile_path(self, rng):
+        """_pref_need_rows_fused == _pref_need_rows on integer-valued data
+        for every residency dtype (f32 / bf16 / int8), including k and d
+        padding (k not a chunk multiple, d not a lane multiple)."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        n, d, k, kk = 600, 48, 19, 8
+        base = rng.integers(-30, 30, (n, d)).astype(np.float32)
+        for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+            x = jnp.asarray(base.astype(np.int8) if dt == jnp.int8
+                            else base).astype(dt)
+            cents, _, _, _ = sh.kmeans(x, k, iters=2, top_k=0)
+            # integer-grid centroids so both paths' arithmetic is exact
+            cents = jnp.round(cents)
+            idx = rng.choice(n, size=300, replace=False).astype(np.int32)
+            idx_pad = np.zeros(512, np.int32)
+            idx_pad[:len(idx)] = idx
+            blk = sh._kmeans_block(n, k, sh._KMEANS_BLOCK)
+            m_tile = -(-512 // blk) * blk
+            idx_tile = np.zeros(m_tile, np.int32)
+            idx_tile[:len(idx)] = idx
+            want = np.asarray(sh._pref_need_rows(
+                x, cents, jnp.asarray(idx_tile), kk=kk, block=blk,
+                as_u16=True))[:len(idx)]
+            got = np.asarray(sh._pref_need_rows_fused(
+                x, cents, jnp.asarray(idx_pad), kk=kk, block_c=512,
+                as_u16=True, interpret=True))[:len(idx)]
+            np.testing.assert_array_equal(got, want, err_msg=str(dt))
+
+    def test_engine_identical_with_fused_prefs(self, rng, monkeypatch):
+        """Full bucketed run: fused pref scan vs tile pref scan must give
+        identical partitions (need-only mode forced so the pref path is
+        actually exercised; skewed blobs force spills + dissolves)."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        centers = rng.normal(size=(6, 12)).astype(np.float32) * 8
+        sizes = [160, 90, 40, 20, 6, 2]
+        x = np.concatenate([
+            c + rng.normal(size=(s, 12)).astype(np.float32) * 0.5
+            for c, s in zip(centers, sizes)])
+        x = x[rng.permutation(len(x))]
+        monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "1")
+        monkeypatch.setenv("IMAGECLUST_PREF_FUSED", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        monkeypatch.setenv("IMAGECLUST_PREF_FUSED", "1")
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        assert got.cluster_map == ref.cluster_map
+        assert got.dropped == ref.dropped
