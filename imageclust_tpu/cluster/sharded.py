@@ -367,11 +367,16 @@ def _pref_need_rows_fused(x: jax.Array, cents: jax.Array, idx: jax.Array,
     int32, f32 exact) and the same score expression tree — the only
     rounding difference vs the tile path is MXU-accumulation order inside
     the gram: the same documented near-tie envelope as need-only mode
-    itself."""
+    itself.
+
+    ``idx`` length must be a multiple of the row-block size
+    (min(_PREF_FUSED_ROWS, len(idx))) — the scan floor-divides, so a
+    ragged tail would be silently dropped; the assert makes that loud."""
     from imageclust_tpu.ops.pallas_kernels import pref_topk_block
 
     m_pad = idx.shape[0]
     rows_blk = min(_PREF_FUSED_ROWS, m_pad)
+    assert m_pad % rows_blk == 0, (m_pad, rows_blk)
     d = x.shape[1]
     d_pad = ((d + 127) // 128) * 128
     k = cents.shape[0]

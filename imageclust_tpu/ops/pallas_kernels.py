@@ -630,11 +630,15 @@ def pref_topk_block(rows, cents, cnorms, kk: int, block_c: int = 512,
     the matching compute dtype; ``cnorms`` (k_pad,) f32 squared norms of
     those STORED values, +inf on padding rows. d must be a lane multiple
     (zero-pad columns — exact: zeros contribute 0 to norms and products);
-    k_pad a multiple of ``block_c``; R a sublane multiple. Returns
-    (R, kk) i32, ascending by distance, ties by ascending index."""
+    k_pad a multiple of ``block_c``; R a sublane multiple. ``kk`` must be
+    <= 128 (the scratch holds one 128-lane best row) and <= the number of
+    REAL (non-padding) centroid rows — beyond that the inf-blanked lanes
+    re-emit duplicate indices. Returns (R, kk) i32, ascending by distance,
+    ties by ascending index."""
     R, d = rows.shape
     k_pad = cents.shape[0]
     assert k_pad % block_c == 0 and d % 128 == 0, (k_pad, block_c, d)
+    assert 0 < kk <= 128, kk
     out = pl.pallas_call(
         functools.partial(_pref_topk_kernel, kk=kk),
         grid=(k_pad // block_c,),

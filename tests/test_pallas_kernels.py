@@ -336,13 +336,19 @@ class TestPrefTopkFused:
     def test_engine_identical_with_fused_prefs(self, rng, monkeypatch):
         """Full bucketed run: fused pref scan vs tile pref scan must give
         identical partitions (need-only mode forced so the pref path is
-        actually exercised; skewed blobs force spills + dissolves)."""
+        actually exercised; skewed blobs force spills + dissolves).
+
+        Integer-grid data (like the sibling tests and the fuzzer-proven
+        tie-free domain): the two paths match only up to MXU/reduction-
+        order rounding, so continuous floats could flip a near-tie under
+        a toolchain bump even inside the documented envelope; on the
+        integer grid every intermediate is exactly representable."""
         import imageclust_tpu.cluster.sharded as sh
 
-        centers = rng.normal(size=(6, 12)).astype(np.float32) * 8
+        centers = (rng.integers(-5, 6, (6, 12)) * 8).astype(np.float32)
         sizes = [160, 90, 40, 20, 6, 2]
         x = np.concatenate([
-            c + rng.normal(size=(s, 12)).astype(np.float32) * 0.5
+            c + rng.integers(-2, 3, (s, 12)).astype(np.float32)
             for c, s in zip(centers, sizes)])
         x = x[rng.permutation(len(x))]
         monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "1")
