@@ -1162,7 +1162,9 @@ def constrained_ward_chain(
         raise ValueError(f"embeddings must be (n, d), got {feats.shape}")
     n, d = feats.shape
     if ids is None:
-        ids = [f"img_{i}" for i in range(n)]  # workflow.go:140 id scheme
+        from imageclust_tpu.cluster.ward import DefaultIds
+
+        ids = DefaultIds(n)  # lazy workflow.go:140 id scheme
     if len(ids) != n:
         raise ValueError("ids length must match embeddings")
 

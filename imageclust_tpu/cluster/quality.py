@@ -193,16 +193,19 @@ def ptq_scoreboard(model: str, n: int, *, n_base: int = 64,
         bs, s = emb.batch_size, emb.spec.input_size
         fwd = emb._embed_fn(resize=False)
         kb = jax.random.PRNGKey(seed)
+        # base is PASSED IN, not closed over: a closure array becomes a
+        # literal in the jitted program — tens of MB shipped through the
+        # tunnel to the remote compiler per variant
         base = jax.random.randint(kb, (n_base, s, s, 3), 0, 200, jnp.int32)
 
         @jax.jit
-        def synth(i):
+        def synth(base, i):
             kz, kn = jax.random.split(jax.random.fold_in(kb, i))
             z = jax.random.randint(kz, (bs,), 0, n_base)
             noise = jax.random.randint(kn, (bs, s, s, 3), 0, 56, jnp.int32)
             return (base[z] + noise).astype(jnp.uint8)
 
-        chunks = [fwd(emb.variables, synth(i))
+        chunks = [fwd(emb.variables, synth(base, i))
                   for i in range(-(-n // bs))]
         return jnp.concatenate(chunks)[:n]
 

@@ -284,7 +284,12 @@ def _kmeans_summarize(x: jax.Array, cents: jax.Array, kk: int, block: int):
 
     def final_blk(_, i):
         rows = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
-        return None, summarize(rows)
+        s = summarize(rows)
+        if kk:
+            # flatten prefs per-step (see _pref_need_rows: minor-axis
+            # tile padding would inflate the stacked buffer 128/kk-fold)
+            return None, (s[0], s[1], s[2].reshape(block * kk))
+        return None, s
 
     t = summarize(tail)
     if n_blocks:
@@ -326,7 +331,11 @@ def _pref_need_rows(x: jax.Array, cents: jax.Array, idx: jax.Array,
         rows = jnp.take(x, take, axis=0)
         d2 = _sqdist_tile(rows, cents)
         _, pref = jax.lax.top_k(-d2, kk)
-        return None, pref
+        # flatten per-step: stacking (nb, block, kk) would tile-pad the
+        # minor kk axis to 128 lanes — 16x HBM for kk=8 (4 GB at the 10M
+        # tier, where it OOMed next to the resident matrix); (nb, block*kk)
+        # keeps the minor dim lane-aligned and the bytes honest
+        return None, pref.reshape(block * kk)
 
     _, prefs = jax.lax.scan(
         blk, None, jnp.arange(m_pad // block, dtype=jnp.int32))
@@ -400,7 +409,10 @@ def _pref_need_rows_fused(x: jax.Array, cents: jax.Array, idx: jax.Array,
             rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
         pref = pref_topk_block(rows, c, cn, kk=kk, block_c=block_c,
                                interpret=interpret)
-        return None, pref
+        # flatten per-step (see _pref_need_rows): a stacked (nb, rows, kk)
+        # minor axis tile-pads kk=8 -> 128 lanes, 16x the true bytes —
+        # the 4 GB HLO temp that OOMed the 10M x 1024 int8 tier
+        return None, pref.reshape(rows_blk * kk)
 
     _, prefs = jax.lax.scan(
         blk, None, jnp.arange(m_pad // rows_blk, dtype=jnp.int32))
@@ -2249,7 +2261,9 @@ def constrained_ward_bucketed(
         feats = embeddings.astype(dt)
     n, d = feats.shape
     if ids is None:
-        ids = [f"img_{i}" for i in range(n)]
+        from imageclust_tpu.cluster.ward import DefaultIds
+
+        ids = DefaultIds(n)  # lazy: never materialized at the 10M tier
     if len(ids) != n:  # fail fast like the sibling engines
         raise ValueError("ids length must match embeddings")
     calculate_optimal_clusters(n, min_size, max_size)  # global feasibility
@@ -2263,7 +2277,8 @@ def constrained_ward_bucketed(
 
         return constrained_ward(
             np.asarray(feats, dtype=np.float32),  # int8 grid values: exact
-            ids, min_size=min_size, max_size=max_size,
+            list(ids),  # the exact engine wants a real list (tiny here)
+            min_size=min_size, max_size=max_size,
             update_rule=update_rule, reassign_dropped=reassign_dropped,
             mesh=mesh,
         )
@@ -2334,6 +2349,11 @@ def constrained_ward_bucketed(
             # non-addressable devices — build the global array from the
             # host copy every process already holds in this bring-up mode
             sh = NamedSharding(mesh, spec)
+            if isinstance(a, jax.Array) and not a.is_fully_addressable:
+                # already a GLOBAL array (features streamed through the
+                # multi-process pipeline): np.asarray would throw and the
+                # value never needs to leave the devices — reshard SPMD
+                return jax.jit(lambda t: t, out_shardings=sh)(a)
             if multiproc:
                 host = np.asarray(a)
                 return jax.make_array_from_callback(

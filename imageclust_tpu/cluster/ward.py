@@ -75,6 +75,35 @@ def calculate_optimal_clusters(total_items: int, min_size: int, max_size: int) -
     return n_min
 
 
+class DefaultIds:
+    """Lazy default item-id sequence: ``ids[k] == f"img_{k}"`` — the
+    reference's id scheme (workflow.go:140) without materializing n Python
+    strings up front. At the bucketed engine's 10M tier an eager list costs
+    ~1 GB of host RAM and seconds of pure string formatting that columnar
+    consumers (``ClusterResult.members``/``offsets`` readers) never need."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, k):
+        if isinstance(k, slice):
+            return [f"img_{i}" for i in range(*k.indices(self.n))]
+        k = int(k)
+        if k < 0:
+            k += self.n
+        if not 0 <= k < self.n:
+            raise IndexError(k)
+        return f"img_{k}"
+
+    def __iter__(self):
+        return (f"img_{i}" for i in range(self.n))
+
+
 class ClusterResult:
     """Outcome of a constrained-Ward run.
 

@@ -84,6 +84,14 @@ class Embedder:
         self.spec = spec
         self.batch_size = batch_size
         self.mesh = mesh
+        # multi-process mesh (a real pod, or the local gloo bring-up):
+        # host arrays cannot be device_put onto non-addressable devices —
+        # every put below switches to make_array_from_callback, building
+        # the global array from the full host copy each process holds
+        self._multiproc = mesh is not None and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat
+        )
         if mesh is not None:
             # the DP executor dispatches device-divisible batches; rounding
             # DOWN inside embed_stream* while producers chunk at the raw
@@ -100,11 +108,33 @@ class Embedder:
         # layout folded into the model, e.g. the ResNet s2d stem)
         self._raw_apply_fn = raw_apply_fn
         if mesh is not None:
-            variables = jax.device_put(
-                variables, NamedSharding(mesh, P())
-            )
+            repl = NamedSharding(mesh, P())
+            if self._multiproc:
+                variables = jax.tree.map(
+                    lambda x: self._globalize(np.asarray(x), repl), variables)
+            else:
+                variables = jax.device_put(variables, repl)
         self.variables = variables
         self._jitted: dict[tuple, Any] = {}
+
+    @staticmethod
+    def _globalize(host: np.ndarray, sharding):
+        """Host array -> global jax.Array on a (possibly multi-process)
+        mesh. Every process holds the same full host value and donates its
+        addressable shards — the multi-process form of device_put."""
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx])
+
+    def _device_batch(self, chunk: np.ndarray):
+        """One padded uint8 batch -> the array the jitted embed fn takes:
+        plain transfer single-process, a global P('data') array when the
+        mesh spans processes (batch sizes are ndev-divisible by
+        construction, so the row shards are even)."""
+        if self._multiproc:
+            host = np.ascontiguousarray(chunk)
+            return self._globalize(
+                host, NamedSharding(self.mesh, P("data")))
+        return jnp.asarray(chunk)
 
     # -- compiled kernels ---------------------------------------------------
 
@@ -176,7 +206,7 @@ class Embedder:
             if c < bs:  # pad the tail to the compiled batch shape
                 pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            emb = fn(self.variables, jnp.asarray(chunk))
+            emb = fn(self.variables, self._device_batch(chunk))
             chunks.append(emb[:c] if c < bs else emb)
         return chunks
 
@@ -198,7 +228,8 @@ class Embedder:
         into the device-resident clustering path without a host round trip."""
         return jnp.concatenate(self._embed_chunks(images))
 
-    def embed_stream(self, chunks, inflight: int = 4) -> jax.Array:
+    def embed_stream(self, chunks, inflight: int = 4,
+                     total: int | None = None) -> jax.Array:
         """Embed an iterable of uint8 (b, S, S, 3) chunks (S = input size,
         b <= batch_size) and return float32 (N, dim) RESIDENT IN HBM.
 
@@ -213,10 +244,11 @@ class Embedder:
         than a slow host->device link drains them and RSS grows with the
         job (observed: 16 GB at 100k images through the axon tunnel). Every
         ``inflight`` chunks one scalar is pulled to force completion."""
-        return self.embed_stream_quantized(chunks, inflight)[0]
+        return self.embed_stream_quantized(chunks, inflight, total=total)[0]
 
     def embed_stream_quantized(self, chunks, inflight: int = 4,
-                               out_dtype=None, margin: float = 1.25):
+                               out_dtype=None, margin: float = 1.25,
+                               total: int | None = None):
         """:meth:`embed_stream` with each chunk cast to a RESIDENCY dtype
         before it accumulates in HBM — the f32 matrix never exists, so the
         bf16/int8 cluster capacity tiers are reachable through the real
@@ -230,7 +262,19 @@ class Embedder:
         compromise as int8 activation calibration). Returns
         ``(array, scale)``; ``scale`` is 1.0 unless int8 — divide any
         block concatenated onto these features (e.g. label fusion) by it
-        so relative geometry matches the f32 pipeline."""
+        so relative geometry matches the f32 pipeline.
+
+        Chunks may be DEVICE arrays (e.g. on-device synthetic ingest for
+        tier-scale benchmarks): they feed the forward pass directly with no
+        host round trip through the ~20 MB/s tunnel.
+
+        ``total``: when the job size is known up front and the stream is
+        single-process, embeddings accumulate into ONE preallocated
+        (total, dim) buffer via donated ``dynamic_update_slice`` — the
+        final ``concatenate`` of the list path needs 2x the feature bytes
+        live at once, which does not exist at the 10M tier (10+ GB matrix
+        on a 16 GB chip). The list path (exact same values) remains the
+        default for unsized streams."""
         import jax
         import jax.numpy as jnp
 
@@ -253,28 +297,70 @@ class Embedder:
         if self.mesh is not None:
             ndev = self.mesh.shape["data"]
             bs = max(ndev, (bs // ndev) * ndev)
+        # multi-process donation across global arrays is untested here —
+        # the tier-scale preallocated path is single-chip scope for now
+        prealloc = total is not None and not self._multiproc
+        buf = None
+        fill = None
+        if prealloc:
+            buf = jnp.zeros((total, self.spec.dim), out_dtype)
+
+            @partial(jax.jit, donate_argnums=0)
+            def fill(b, rows, start):
+                return jax.lax.dynamic_update_slice(b, rows, (start, 0))
+
         outs: list[jax.Array] = []
         scale = 1.0
+        written = 0
+        n_chunks = 0
         expect = (self.spec.input_size, self.spec.input_size, 3)
         for chunk in chunks:
-            chunk = np.asarray(chunk)
+            on_device = isinstance(chunk, jax.Array)
+            if not on_device:
+                chunk = np.asarray(chunk)
             if chunk.shape[1:] != expect or chunk.shape[0] > bs:
                 raise ValueError(
                     f"stream chunk must be (<= {bs}, {expect}), "
                     f"got {chunk.shape}")
             c = chunk.shape[0]
             if c < bs:  # pad to the one compiled shape
-                pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
-                chunk = np.concatenate([chunk, pad])
-            emb = fn(self.variables, jnp.asarray(chunk))
+                if on_device:
+                    chunk = jnp.pad(chunk, ((0, bs - c), (0, 0), (0, 0),
+                                            (0, 0)))
+                else:
+                    pad = np.zeros((bs - c, *chunk.shape[1:]), chunk.dtype)
+                    chunk = np.concatenate([chunk, pad])
+            emb = fn(self.variables,
+                     chunk if on_device else self._device_batch(chunk))
             emb = emb[:c] if c < bs else emb
-            if not outs and int8:
+            if n_chunks == 0 and int8:
                 # one host sync, first chunk only: the grid scale
+                # (jnp.max of a global array is fully replicated, so
+                # float() works across processes too)
                 scale = max(
                     float(jnp.max(jnp.abs(emb))) * margin / 127.0, 1e-30)
-            outs.append(cast(emb, jnp.float32(scale)))
+            emb = cast(emb, jnp.float32(scale))
+            n_chunks += 1
+            if prealloc:
+                if written + emb.shape[0] > total:
+                    raise ValueError(
+                        f"stream yielded more than total={total} rows")
+                buf = fill(buf, emb, jnp.int32(written))
+                written += emb.shape[0]
+                if inflight and n_chunks % inflight == 0:
+                    np.asarray(buf[:1, :1])  # bound in-flight work
+                continue
+            outs.append(emb)
             if inflight and len(outs) % inflight == 0:
-                np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
+                if self._multiproc:  # global slices may not be addressable
+                    outs[-1].block_until_ready()
+                else:
+                    np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
+        if prealloc:
+            if written != total:
+                raise ValueError(
+                    f"stream yielded {written} rows, expected total={total}")
+            return buf, scale
         if not outs:
             return jnp.zeros((0, self.spec.dim), out_dtype), scale
         return (outs[0] if len(outs) == 1 else jnp.concatenate(outs)), scale

@@ -210,6 +210,82 @@ def verify_bucketed() -> None:
     print("bucketed int8 ok", flush=True)
 
 
+def verify_pipeline() -> None:
+    """`Pipeline.run_paths` end to end across the cross-process mesh —
+    streamed ingest -> DP-sharded embed (global batch arrays built via
+    make_array_from_callback) -> fuse -> owner-aligned bucketed clustering
+    -> naming -> report, with every process executing the same SPMD
+    program. The partition must equal the single-process pipeline's run in
+    the same interpreter (multi-host counterpart of the reference's
+    single-process orchestration, workflow.go:66-108).
+
+    Expects IMAGECLUST_MP_IMAGES (a directory of images every process can
+    read — identical host bytes are what make the global batch arrays
+    consistent) and IMAGECLUST_MP_WORK (scratch root; each process writes
+    its own job dirs under it).
+    """
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from imageclust_tpu.config import (
+        AppConfig,
+        ClusterConfig,
+        LabelConfig,
+        NamingConfig,
+    )
+    from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+    from imageclust_tpu.pipeline import Pipeline
+
+    mesh = _global_mesh()
+    paths = sorted(
+        glob.glob(os.path.join(os.environ["IMAGECLUST_MP_IMAGES"], "*")))
+    assert paths, "no images shared with the workers"
+    work = os.environ["IMAGECLUST_MP_WORK"]
+
+    def toy_embedder(m):
+        # the production Embedder class (its mesh machinery is the thing
+        # under test) around a tiny deterministic apply_fn
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) * 10.0 + variables["b"]
+
+        return Embedder(spec, apply_fn, {"b": jnp.zeros((3,))},
+                        batch_size=8, mesh=m, tag="toy:mp-pipeline")
+
+    def cfg():
+        return AppConfig(
+            labels=LabelConfig(backend="fake"),
+            naming=NamingConfig(services=("fake",), retries=1),
+            # len(paths) >> exact_limit: forces the streamed big-job path
+            cluster=ClusterConfig(exact_limit=4, bucket_size=16),
+        )
+
+    pid = jax.process_index()
+    res = Pipeline(cfg(), mesh=mesh, embedder=toy_embedder(mesh)).run_paths(
+        paths, os.path.join(work, f"mesh_p{pid}"), min_size=3, max_size=8)
+    ref = Pipeline(cfg(), embedder=toy_embedder(None)).run_paths(
+        paths, os.path.join(work, f"one_p{pid}"), min_size=3, max_size=8)
+
+    part = {frozenset(d.images) for d in res.clusters.values()}
+    ref_part = {frozenset(d.images) for d in ref.clusters.values()}
+    assert part == ref_part, "multi-process pipeline partition diverged"
+    assert res.dropped == ref.dropped == []
+    assert os.path.exists(res.html_path), "mesh job wrote no report"
+    for d in res.clusters.values():
+        assert d.labels and d.title  # labels + naming flowed through
+    print(
+        f"pipeline ok: {len(res.clusters)} clusters on "
+        f"{jax.device_count()} devices / {jax.process_count()} processes",
+        flush=True,
+    )
+
+
 def verify_all() -> None:
     """psum + train step + owner-aligned clustering in one bring-up."""
     verify_psum()

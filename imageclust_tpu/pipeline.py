@@ -189,6 +189,130 @@ class Pipeline:
                 report_routes,
             )
 
+    def run_stream(
+        self,
+        chunks,
+        n_images: int,
+        work_dir: str,
+        name_fn=None,
+        min_size: int | None = None,
+        max_size: int | None = None,
+        profile_dir: str | None = None,
+        image_route: str = "/api/image/",
+        report_routes: tuple[str, str] | None = None,
+    ) -> PipelineResult:
+        """Tier-scale pipeline entry: images arrive as an iterator of uint8
+        (b, S, S, 3) chunks — HOST or DEVICE arrays (device chunks feed the
+        forward pass with no transfer: the on-device ingest that makes the
+        10M tier reachable through a ~20 MB/s host link). Embeddings
+        accumulate straight into ONE preallocated residency-dtype buffer
+        (``Embedder.embed_stream_quantized(total=...)``), cluster with the
+        scale engine in COLUMNAR form (no per-item Python id strings), then
+        run the same naming/report tail as :meth:`run`/:meth:`run_paths` —
+        the reference's whole contract (workflow.go:66-108 ->
+        utils.go:23-214) at four orders of magnitude its scale.
+
+        ``name_fn(i) -> str`` supplies display names per item index
+        (default ``img_{i:07d}.jpg``). Labeling backends: ``none`` (skip)
+        or ``zero_shot`` (batched from the embeddings — no image bytes
+        needed); blob-based backends need :meth:`run_paths`.
+        """
+        cfg = self.config
+        min_size = cfg.cluster.min_size if min_size is None else min_size
+        max_size = cfg.cluster.max_size if max_size is None else max_size
+        if n_images < 1:
+            raise ValueError("no images supplied")
+        if min_size < 1 or max_size < min_size:
+            raise ValueError(
+                f"invalid cluster size bounds [{min_size}, {max_size}]")
+        if cfg.labels.backend not in ("none", "", "zero_shot"):
+            raise ValueError(
+                f"run_stream supports labels.backend 'none' or 'zero_shot' "
+                f"(got {cfg.labels.backend!r}); blob-based labelers need "
+                "run_paths")
+        name_fn = name_fn or (lambda i: f"img_{i:07d}.jpg")
+
+        metrics = RunMetrics()
+        timer = StageTimer(metrics, profile_dir)
+        metrics.counters["images"] = n_images
+        os.makedirs(work_dir, exist_ok=True)
+
+        with timer.profiled():
+            with timer.stage("embed"):
+                import jax.numpy as jnp
+
+                emb_scale = 1.0
+                res_dt = None
+                if cfg.cluster.scale_engine == "bucketed":
+                    res_dt = {"bfloat16": jnp.bfloat16,
+                              "int8": jnp.int8}.get(cfg.cluster.feature_dtype)
+                image_emb, emb_scale = self.embedder.embed_stream_quantized(
+                    chunks, out_dtype=res_dt, total=n_images)
+
+            per_image_labels = None
+            label_mat = np.zeros((n_images, 0), np.float32)
+            if cfg.labels.backend == "zero_shot":
+                with timer.stage("label"):
+                    zs = create_labeler(cfg.labels, None,
+                                        embedder=self.embedder)
+                    per_image_labels = zs.labels_from_embeddings(
+                        image_emb, cfg.labels.max_labels,
+                        cfg.labels.min_confidence)
+                    label_set = self._label_set(per_image_labels, cfg.labels)
+                    metrics.counters["unique_labels"] = len(label_set)
+                with timer.stage("fuse"):
+                    if cfg.labels.fusion == "text":
+                        from imageclust_tpu.labels.text_fusion import (
+                            text_label_matrix,
+                        )
+
+                        label_mat = text_label_matrix(
+                            per_image_labels, label_set,
+                            self._get_text_encoder())
+                    else:
+                        label_mat = one_hot_matrix(per_image_labels,
+                                                   label_set)
+                    if cfg.labels.fusion_weight != 1.0:
+                        label_mat = label_mat * np.float32(
+                            cfg.labels.fusion_weight)
+            features = self._fuse_big(image_emb, label_mat, emb_scale)
+
+            with timer.stage("cluster"):
+                result = self._cluster_big(
+                    features, None, min_size, max_size)
+                metrics.counters["clusters"] = result.n_clusters
+                n_dropped = (len(result._dropped_idx)
+                             if result._dropped_idx is not None
+                             else len(result.dropped))
+                metrics.counters["dropped"] = n_dropped
+
+            with timer.stage("name"):
+                details = self._prepare_details_columnar(
+                    result, name_fn, per_image_labels, work_dir=work_dir)
+                if self._naming_skipped:
+                    metrics.counters["naming_skipped"] = self._naming_skipped
+
+            with timer.stage("report"):
+                routes = tuple(report_routes or ())
+                page_route = routes[0] if routes else "clusters_p{page}.html"
+                index_route = routes[1] if len(routes) > 1 else "clusters.html"
+                section_route = (routes[2] if len(routes) > 2
+                                 else "clusters_ix{sec}.html")
+                html_path = write_report(
+                    details, work_dir, image_route,
+                    page_size=cfg.service.report_page_size,
+                    page_route=page_route, index_route=index_route,
+                    section_route=section_route)
+
+        if result._dropped_idx is not None:
+            dropped_names = [name_fn(int(i)) for i in result._dropped_idx]
+        else:  # eager fallback result: ids are the default "img_<idx>"
+            dropped_names = [name_fn(int(s.rsplit("_", 1)[-1]))
+                             for s in result.dropped]
+        log.info("pipeline done: %d clusters, %d dropped, stages %s",
+                 len(details), len(dropped_names), metrics.stages)
+        return PipelineResult(details, html_path, metrics, dropped_names)
+
     def _run_core(
         self,
         names: list[str],
@@ -340,33 +464,7 @@ class Pipeline:
             if cfg.labels.fusion_weight != 1.0:
                 label_mat = label_mat * np.float32(cfg.labels.fusion_weight)
             if big_job:
-                import jax.numpy as jnp
-
-                features = image_emb
-                if label_mat.shape[1]:
-                    if image_emb.dtype == jnp.int8:
-                        # same grid as the streamed image block: divide by
-                        # its scale so relative geometry matches the f32
-                        # pipeline (the engine itself is scale-invariant)
-                        had_labels = bool(label_mat.any())
-                        label_mat = np.clip(
-                            np.round(label_mat / np.float32(emb_scale)),
-                            -127, 127).astype(np.int8)
-                        if had_labels and not label_mat.any():
-                            # faithful to f32 semantics (values this far
-                            # below the image block's magnitude barely
-                            # moved Ward distances either) — but say it
-                            log.warning(
-                                "int8 residency rounded the label block "
-                                "to all zeros (values below the grid step "
-                                "%.3g) — labels will not influence "
-                                "clustering; raise labels.fusion_weight "
-                                "to give them weight", emb_scale)
-                    features = jnp.concatenate(
-                        [image_emb,
-                         jnp.asarray(label_mat).astype(image_emb.dtype)],
-                        axis=1,
-                    )
+                features = self._fuse_big(image_emb, label_mat, emb_scale)
             else:
                 features = combine_embeddings(image_emb, label_mat)
 
@@ -378,31 +476,9 @@ class Pipeline:
                     update_rule=cfg.cluster.update_rule,
                     reassign_dropped=cfg.cluster.reassign_dropped,
                 )
-            elif cfg.cluster.scale_engine == "chain":
-                result = constrained_ward_chain(
-                    features, item_ids,
-                    min_size=min_size, max_size=max_size,
-                    reassign_dropped=cfg.cluster.scale_reassign_dropped,
-                    mesh=self.mesh,
-                )
-            elif cfg.cluster.scale_engine != "bucketed":
-                # fail loud: a typo must not silently run the bucketed
-                # approximation in place of the exact-semantics chain engine
-                raise ValueError(
-                    f"unknown cluster.scale_engine "
-                    f"{cfg.cluster.scale_engine!r}; know 'bucketed', 'chain'"
-                )
             else:
-                result = constrained_ward_bucketed(
-                    features, item_ids,
-                    min_size=min_size, max_size=max_size,
-                    bucket_size=cfg.cluster.bucket_size,
-                    kmeans_iters=cfg.cluster.kmeans_iters,
-                    update_rule=cfg.cluster.scale_update_rule,
-                    mesh=self.mesh,
-                    reassign_dropped=cfg.cluster.scale_reassign_dropped,
-                    feature_dtype=cfg.cluster.feature_dtype,
-                )
+                result = self._cluster_big(
+                    features, item_ids, min_size, max_size)
             metrics.counters["clusters"] = result.n_clusters
             metrics.counters["dropped"] = len(result.dropped)
 
@@ -435,6 +511,79 @@ class Pipeline:
         return PipelineResult(details, html_path, metrics, dropped_names)
 
     # ------------------------------------------------------------------
+
+    def _fuse_big(self, image_emb, label_mat, emb_scale: float):
+        """Fuse the label block onto DEVICE-RESIDENT embeddings (the big-job
+        path: features never visit the host). Handles the int8 residency
+        grid and multi-process global arrays."""
+        import jax
+        import jax.numpy as jnp
+
+        if not label_mat.shape[1]:
+            return image_emb
+        if image_emb.dtype == jnp.int8:
+            # same grid as the streamed image block: divide by its scale so
+            # relative geometry matches the f32 pipeline (the engine itself
+            # is scale-invariant)
+            had_labels = bool(label_mat.any())
+            label_mat = np.clip(
+                np.round(label_mat / np.float32(emb_scale)),
+                -127, 127).astype(np.int8)
+            if had_labels and not label_mat.any():
+                # faithful to f32 semantics (values this far below the
+                # image block's magnitude barely moved Ward distances
+                # either) — but say it
+                log.warning(
+                    "int8 residency rounded the label block to all zeros "
+                    "(values below the grid step %.3g) — labels will not "
+                    "influence clustering; raise labels.fusion_weight to "
+                    "give them weight", emb_scale)
+        lm = jnp.asarray(label_mat).astype(image_emb.dtype)
+        if (isinstance(image_emb, jax.Array)
+                and not image_emb.is_fully_addressable):
+            # multi-process mesh: the label block must be a GLOBAL array
+            # before it can concatenate with the sharded embeddings
+            # (replicated — it is small)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            host = np.asarray(lm)
+            lm = jax.make_array_from_callback(
+                host.shape, NamedSharding(self.mesh, P()),
+                lambda idx: host[idx])
+        return jnp.concatenate([image_emb, lm], axis=1)
+
+    def _cluster_big(self, features, item_ids, min_size: int, max_size: int):
+        """Scale-engine dispatch (above cluster.exact_limit): NN-chain for
+        exact greedy semantics, bucketed for capacity. ``item_ids`` may be
+        None — the bucketed engine then returns its columnar form with
+        integer item indices (the 10M tier: materializing 10M id strings
+        is pure host overhead)."""
+        cfg = self.config
+        if cfg.cluster.scale_engine == "chain":
+            return constrained_ward_chain(
+                features, item_ids,
+                min_size=min_size, max_size=max_size,
+                reassign_dropped=cfg.cluster.scale_reassign_dropped,
+                mesh=self.mesh,
+            )
+        if cfg.cluster.scale_engine != "bucketed":
+            # fail loud: a typo must not silently run the bucketed
+            # approximation in place of the exact-semantics chain engine
+            raise ValueError(
+                f"unknown cluster.scale_engine "
+                f"{cfg.cluster.scale_engine!r}; know 'bucketed', 'chain'"
+            )
+        return constrained_ward_bucketed(
+            features, item_ids,
+            min_size=min_size, max_size=max_size,
+            bucket_size=cfg.cluster.bucket_size,
+            kmeans_iters=cfg.cluster.kmeans_iters,
+            update_rule=cfg.cluster.scale_update_rule,
+            mesh=self.mesh,
+            reassign_dropped=cfg.cluster.scale_reassign_dropped,
+            feature_dtype=cfg.cluster.feature_dtype,
+        )
 
     @staticmethod
     def _labeling_service(labeler, label_cfg, total: int):
@@ -513,10 +662,66 @@ class Pipeline:
             details[key] = d
             texts[key] = d.labels
 
-        # Naming budget (naming.max_clusters): at the engine's 10M tier
-        # there are ~2.28M clusters — name only the N largest (ties by
-        # cluster id: deterministic), skip the rest explicitly. Skipped
-        # clusters keep their label text and render under their cluster id.
+        self._apply_naming(details, texts, work_dir)
+        return details
+
+    def _prepare_details_columnar(
+        self,
+        result,
+        name_fn,
+        per_image_labels=None,
+        work_dir: str | None = None,
+    ) -> dict[str, ClusterDetails]:
+        """workflow.go:187-229 over the engine's COLUMNAR result: cluster
+        member indices drive ``name_fn``/label lookups directly, so the 10M
+        tier never materializes per-item id strings or an id->index dict
+        (measured ~85 s of pure host time at 2M+ clusters). Same naming
+        budget/resume semantics as :meth:`_prepare_cluster_details`."""
+        details: dict[str, ClusterDetails] = {}
+        texts: dict[str, str] = {}
+
+        def cluster_iter():
+            if result._members is not None:
+                mem, off = result._members, result._offsets
+                for c in range(len(off) - 1):
+                    yield c, mem[off[c]:off[c + 1]]
+            else:  # eager engine result (tiny jobs: the 1-bucket fallback)
+                for c, idxs in result._index_map.items():
+                    yield c, idxs
+
+        for cid, idxs in cluster_iter():
+            d = ClusterDetails()
+            if per_image_labels is None:
+                d.images = [name_fn(int(i)) for i in idxs]
+            else:
+                seen_labels: list[str] = []
+                for i in idxs:
+                    i = int(i)
+                    for label in per_image_labels[i]:
+                        if label.name not in seen_labels:
+                            seen_labels.append(label.name)
+                    d.images.append(name_fn(i))
+                d.labels = ", ".join(seen_labels)
+            key = f"Cluster-{cid}"  # workflow.go:192
+            details[key] = d
+            texts[key] = d.labels
+
+        self._apply_naming(details, texts, work_dir)
+        return details
+
+    def _apply_naming(
+        self,
+        details: dict[str, ClusterDetails],
+        texts: dict[str, str],
+        work_dir: str | None,
+    ) -> None:
+        """Budget + name + assign titles, shared by the dict-map and
+        columnar detail preps.
+
+        Naming budget (naming.max_clusters): at the engine's 10M tier
+        there are ~2.28M clusters — name only the N largest (ties by
+        cluster id: deterministic), skip the rest explicitly. Skipped
+        clusters keep their label text and render under their cluster id."""
         budget = self.config.naming.max_clusters
         self._naming_skipped = 0
         if budget and len(texts) > budget:
@@ -541,4 +746,3 @@ class Pipeline:
             if d.service_outputs:  # primary = first in display order
                 d.title = d.service_outputs[0].title
                 d.catchy_phrase = d.service_outputs[0].catchy_phrase
-        return details

@@ -306,3 +306,168 @@ class TestMeshBatchRounding:
             images[i:i + emb.batch_size]
             for i in range(0, 11, emb.batch_size))
         assert np.asarray(out).shape == (11, 3) and scale == 1.0
+
+
+class TestEmbedStreamPrealloc:
+    """VERDICT r4 item 1 groundwork: the 10M tier accumulates embeddings in
+    ONE preallocated donated buffer (the list path's final concatenate needs
+    2x the feature bytes — more HBM than exists at 10M x 512), and ingest
+    chunks may be DEVICE arrays (on-device synthetic ingest: pixels never
+    cross the ~20 MB/s host link)."""
+
+    def _toy(self, batch_size=4):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) + variables["b"]
+
+        return Embedder(spec, apply_fn, {"b": jnp.zeros((3,))},
+                        batch_size=batch_size)
+
+    def test_total_matches_concat_path_all_dtypes(self, rng):
+        import jax.numpy as jnp
+
+        emb = self._toy()
+        images = rng.integers(0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        chunks = lambda: (images[i:i + 4] for i in range(0, 11, 4))
+        for dt in (None, jnp.bfloat16, jnp.int8):
+            want, s_want = emb.embed_stream_quantized(chunks(), out_dtype=dt)
+            got, s_got = emb.embed_stream_quantized(
+                chunks(), out_dtype=dt, total=11)
+            assert s_got == s_want
+            assert got.shape == (11, 3) and got.dtype == want.dtype
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(want, np.float32))
+
+    def test_device_chunks_match_host(self, rng):
+        import jax.numpy as jnp
+
+        emb = self._toy()
+        images = rng.integers(0, 256, (11, 16, 16, 3), dtype=np.uint8)
+        want, _ = emb.embed_stream_quantized(
+            (images[i:i + 4] for i in range(0, 11, 4)), total=11)
+        got, _ = emb.embed_stream_quantized(
+            (jnp.asarray(images[i:i + 4]) for i in range(0, 11, 4)),
+            total=11)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # and through the list path too
+        got2, _ = emb.embed_stream_quantized(
+            jnp.asarray(images[i:i + 4]) for i in range(0, 11, 4))
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+    def test_total_mismatch_raises(self, rng):
+        emb = self._toy()
+        images = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+        chunks = lambda: (images[i:i + 4] for i in range(0, 8, 4))
+        with pytest.raises(ValueError, match="expected total"):
+            emb.embed_stream_quantized(chunks(), total=11)
+        with pytest.raises(ValueError, match="more than total"):
+            emb.embed_stream_quantized(chunks(), total=6)
+
+
+class TestRunStream:
+    """Pipeline.run_stream: the tier-scale entry (device-chunk ingest ->
+    preallocated residency buffer -> columnar cluster -> budgeted naming ->
+    report) produces the same partition as run_paths on the same pixels."""
+
+    def _setup(self, rng, tmp_path, feature_dtype="float32"):
+        import jax.numpy as jnp
+
+        from imageclust_tpu.models.registry import Embedder, EmbedderSpec
+
+        names, blobs = color_group_images(rng, n_groups=3, per_group=6,
+                                          size=16)
+        src = tmp_path / "imgs"
+        src.mkdir(exist_ok=True)
+        paths = []
+        for n, b in zip(names, blobs):
+            p = src / n
+            p.write_bytes(b)
+            paths.append(str(p))
+
+        spec = EmbedderSpec(
+            name="toy", input_size=16, dim=3, scale=1 / 255.0,
+            mean=(0.0, 0.0, 0.0), std=(1.0, 1.0, 1.0), bgr_input=True,
+        )
+
+        def apply_fn(variables, x):
+            return jnp.mean(x, axis=(1, 2)) * 10.0 + variables["b"]
+
+        def embedder():
+            return Embedder(spec, apply_fn, {"b": jnp.zeros((3,))},
+                            batch_size=4, tag="toy:run-stream")
+
+        def cfg():
+            return AppConfig(
+                labels=LabelConfig(backend="none"),
+                naming=NamingConfig(services=("fake",), retries=1),
+                cluster=ClusterConfig(exact_limit=4, bucket_size=8,
+                                      feature_dtype=feature_dtype),
+            )
+
+        return names, blobs, paths, embedder, cfg
+
+    def test_matches_run_paths_partition(self, rng, tmp_path):
+        names, blobs, paths, embedder, cfg = self._setup(rng, tmp_path)
+        ref = Pipeline(cfg(), embedder=embedder()).run_paths(
+            paths, str(tmp_path / "ref"), min_size=3, max_size=6)
+
+        images = decode_images(blobs, size=16)
+        res = Pipeline(cfg(), embedder=embedder()).run_stream(
+            (images[i:i + 4] for i in range(0, len(names), 4)),
+            len(names), str(tmp_path / "stream"),
+            name_fn=lambda i: names[i], min_size=3, max_size=6)
+
+        got = {frozenset(d.images) for d in res.clusters.values()}
+        want = {frozenset(d.images) for d in ref.clusters.values()}
+        assert got == want
+        assert sorted(res.dropped) == sorted(ref.dropped)
+        assert os.path.exists(res.html_path)
+        for d in res.clusters.values():
+            assert d.title  # naming flowed through
+        md = res.metrics.to_dict()
+        assert md["counters"]["images"] == len(names)
+        for stage in ("embed", "cluster", "name", "report"):
+            assert stage in md["stages_s"]
+
+    def test_residency_dtype_and_budget(self, rng, tmp_path):
+        """bf16 residency through run_stream + the naming budget: only the
+        top-N clusters are named, the skip counter is explicit."""
+        names, blobs, paths, embedder, cfg = self._setup(
+            rng, tmp_path, feature_dtype="bfloat16")
+        c = cfg()
+        c.naming.max_clusters = 2
+        images = decode_images(blobs, size=16)
+        res = Pipeline(c, embedder=embedder()).run_stream(
+            (images[i:i + 4] for i in range(0, len(names), 4)),
+            len(names), str(tmp_path / "budget"),
+            name_fn=lambda i: names[i], min_size=3, max_size=6)
+        n_clusters = len(res.clusters)
+        assert n_clusters > 2
+        titled = [d for d in res.clusters.values() if d.title]
+        assert len(titled) == 2
+        md = res.metrics.to_dict()
+        assert md["counters"]["naming_skipped"] == n_clusters - 2
+
+    def test_default_name_fn_and_blob_labeler_rejected(self, rng, tmp_path):
+        names, blobs, paths, embedder, cfg = self._setup(rng, tmp_path)
+        images = decode_images(blobs, size=16)
+        res = Pipeline(cfg(), embedder=embedder()).run_stream(
+            (images[i:i + 4] for i in range(0, len(names), 4)),
+            len(names), str(tmp_path / "default"), min_size=3, max_size=6)
+        all_names = {n for d in res.clusters.values() for n in d.images}
+        assert all(n.startswith("img_") and n.endswith(".jpg")
+                   for n in all_names)
+
+        c = cfg()
+        c.labels = LabelConfig(backend="fake")
+        with pytest.raises(ValueError, match="run_stream supports"):
+            Pipeline(c, embedder=embedder()).run_stream(
+                iter(()), 4, str(tmp_path / "rej"))
