@@ -363,6 +363,94 @@ def _use_pref_fused(k: int) -> tuple[bool, bool]:
     return jax.default_backend() == "tpu" and k >= 4096, False
 
 
+def _fused_cast_cents(x_dtype, cents, block_c: int, d: int, d_pad: int):
+    """Centroids cast to the residency compute dtype + padded for the fused
+    pref kernel, with +inf norms on padding rows (shared by the need-only
+    re-scan and the summarize-fused pass — same stored values, same
+    rounding)."""
+    if x_dtype == jnp.int8:
+        c = jnp.clip(jnp.round(cents.astype(jnp.float32)),
+                     -127, 127).astype(jnp.int8)
+    elif x_dtype == jnp.bfloat16:
+        c = cents.astype(jnp.bfloat16)
+    else:
+        c = cents.astype(jnp.float32)
+    cn = jnp.sum(jnp.square(c.astype(jnp.float32)), axis=1)
+    k = cents.shape[0]
+    k_pad = ((k + block_c - 1) // block_c) * block_c
+    if k_pad != k or d_pad != d:
+        c = jnp.pad(c, ((0, k_pad - k), (0, d_pad - d)))
+        cn = jnp.pad(cn, (0, k_pad - k), constant_values=jnp.inf)
+    return c, cn
+
+
+def _use_summarize_fused(k: int) -> tuple[bool, bool]:
+    """(fuse prefs into the summarize pass, interpret mode). Default:
+    on-TPU whenever the fused pref kernel's domain applies (k >= 4096,
+    same bound as :func:`_use_pref_fused`) — ONE gram pass then yields
+    assignment + own distance + the (n, kk) preference matrix, and the
+    repair phase never re-computes distances. IMAGECLUST_SUMMARIZE_FUSED=0
+    opts out; =1 forces it (interpret mode off-TPU, for tests)."""
+    flag = os.environ.get("IMAGECLUST_SUMMARIZE_FUSED", "")
+    if flag == "0":
+        return False, False
+    if flag == "1":
+        return True, jax.default_backend() != "tpu"
+    return jax.default_backend() == "tpu" and k >= 4096, False
+
+
+@partial(jax.jit,
+         static_argnames=("kk", "block_c", "as_u16", "interpret"))
+def _kmeans_summarize_fused(x: jax.Array, cents: jax.Array, kk: int,
+                            block_c: int, as_u16: bool, interpret: bool):
+    """Full-data summarize with the preference top-k fused INTO the
+    assignment gram: one pass over the (n, k) distance stream produces the
+    assignment (= nearest-1), the own-centroid distance, AND the (n, kk)
+    preference matrix — where the need-only mode re-computed the same gram
+    at repair time for the ~80% of rows in the need set (measured 10M
+    tier), and the XLA tile path paid a k-lane ``top_k`` over the distance
+    stream. Same score expression tree and tie rule (ascending index) as
+    :func:`_sqdist_tile` + ``argmin``; the only rounding difference is
+    MXU-accumulation order inside the gram — the documented fused-kernel
+    near-tie envelope (exact on integer grids, test-pinned)."""
+    from imageclust_tpu.ops.pallas_kernels import pref_topk_block
+
+    n_real, d = x.shape
+    d_pad = ((d + 127) // 128) * 128
+    rows_blk = _PREF_FUSED_ROWS
+    c, cn = _fused_cast_cents(x.dtype, cents, block_c, d, d_pad)
+    n_blocks = n_real // rows_blk
+
+    def one(rows):
+        if d_pad != d:
+            rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+        idx, vals = pref_topk_block(rows, c, cn, kk=kk, block_c=block_c,
+                                    interpret=interpret, with_dists=True)
+        pref = idx.astype(jnp.uint16) if as_u16 else idx
+        # prefs flatten per step (see _pref_need_rows: a stacked minor kk
+        # axis tile-pads 8 -> 128 lanes, 16x the true bytes)
+        return idx[:, 0], vals[:, 0], pref.reshape(rows_blk * kk)
+
+    def blk(_, i):
+        rows = jax.lax.dynamic_slice_in_dim(x, i * rows_blk, rows_blk, 0)
+        return None, one(rows)
+
+    tail, _ = _kmeans_tail(x, rows_blk)
+    t_assign, t_own, t_pref = one(tail)
+    if n_blocks:
+        _, (a, o, p) = jax.lax.scan(
+            blk, None, jnp.arange(n_blocks, dtype=jnp.int32))
+        assign = jnp.concatenate([a.reshape(-1), t_assign])[:n_real]
+        own = jnp.concatenate([o.reshape(-1), t_own])[:n_real]
+        prefs = jnp.concatenate(
+            [p.reshape(-1, kk), t_pref.reshape(-1, kk)])[:n_real]
+    else:
+        assign = t_assign[:n_real]
+        own = t_own[:n_real]
+        prefs = t_pref.reshape(-1, kk)[:n_real]
+    return assign, own, prefs
+
+
 @partial(jax.jit,
          static_argnames=("kk", "block_c", "as_u16", "interpret"))
 def _pref_need_rows_fused(x: jax.Array, cents: jax.Array, idx: jax.Array,

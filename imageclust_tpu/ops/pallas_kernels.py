@@ -551,6 +551,10 @@ def merge_loop_whole(D, counts, targets, max_size, absorb_min,
 
 def _pref_topk_kernel(rows_ref, cents_ref, cnorm_ref, out_ref, vals, *,
                       kk: int):
+    # ``vals`` is the second OUTPUT (top-kk distances, ascending), not
+    # scratch: the revisited output block lives in VMEM across the
+    # sequential grid exactly like scratch did, and the summarize-fused
+    # path reads lane 0 as the item's own-centroid distance.
     """One centroid chunk of the fused nearest-bucket top-k scan.
 
     Grid axis 0 walks centroid chunks; the (R, d) row block stays resident
@@ -620,9 +624,10 @@ def _pref_topk_kernel(rows_ref, cents_ref, cnorm_ref, out_ref, vals, *,
     out_ref[...] = ni
 
 
-@functools.partial(jax.jit, static_argnames=("kk", "block_c", "interpret"))
+@functools.partial(jax.jit, static_argnames=("kk", "block_c", "interpret",
+                                              "with_dists"))
 def pref_topk_block(rows, cents, cnorms, kk: int, block_c: int = 512,
-                    interpret: bool = False):
+                    interpret: bool = False, with_dists: bool = False):
     """Nearest-``kk`` centroid indices for one block of rows, fused.
 
     ``rows`` (R, d) in the residency dtype (f32 / bf16 / int8 — the gram
@@ -634,12 +639,14 @@ def pref_topk_block(rows, cents, cnorms, kk: int, block_c: int = 512,
     <= 128 (the scratch holds one 128-lane best row) and <= the number of
     REAL (non-padding) centroid rows — beyond that the inf-blanked lanes
     re-emit duplicate indices. Returns (R, kk) i32, ascending by distance,
-    ties by ascending index."""
+    ties by ascending index; with ``with_dists`` also the matching (R, kk)
+    f32 distances (lane 0 = the row's own-centroid distance — what the
+    summarize-fused path uses)."""
     R, d = rows.shape
     k_pad = cents.shape[0]
     assert k_pad % block_c == 0 and d % 128 == 0, (k_pad, block_c, d)
     assert 0 < kk <= 128, kk
-    out = pl.pallas_call(
+    out, vals = pl.pallas_call(
         functools.partial(_pref_topk_kernel, kk=kk),
         grid=(k_pad // block_c,),
         in_specs=[
@@ -650,10 +657,18 @@ def pref_topk_block(rows, cents, cnorms, kk: int, block_c: int = 512,
             pl.BlockSpec((1, block_c), lambda c: (0, c),
                          memory_space=pltpu.VMEM),        # chunk norms
         ],
-        out_specs=pl.BlockSpec((R, 128), lambda c: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((R, 128), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec((R, 128), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 128), jnp.int32),
+            jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(rows, cents, cnorms.reshape(1, k_pad))
+    if with_dists:
+        return out[:, :kk], vals[:, :kk]
     return out[:, :kk]
