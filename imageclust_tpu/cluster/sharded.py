@@ -529,7 +529,8 @@ def _kmeans_subsample(x: jax.Array, m: int, seed) -> jax.Array:
 
 def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
            top_k: int = _TOP_PREF, block: int = _KMEANS_BLOCK,
-           fit_per_center: int = _KMEANS_FIT_PER_CENTER):
+           fit_per_center: int = _KMEANS_FIT_PER_CENTER,
+           summarize_fused: bool = False, fused_interpret: bool = False):
     """Lloyd's k-means on device, block-scanned over rows.
 
     Distances are MXU matmuls computed one (block, k) tile at a time under
@@ -568,6 +569,14 @@ def kmeans(x: jax.Array, k: int, iters: int = 8, seed: int = 0,
     if fit_x is not x:
         del fit_x  # free the (m, d) copy before the full-data pass
     kk = min(top_k, k)  # top_k=0 -> need-only mode: top_pref comes back None
+    if summarize_fused and kk:
+        # one gram pass -> assignment + own distance + preferences (see
+        # _kmeans_summarize_fused); prefs come back u16 when bucket ids fit
+        assign, own_d, top_pref = _kmeans_summarize_fused(
+            x, cents, kk=kk, block_c=512,
+            as_u16=k <= np.iinfo(np.uint16).max + 1,
+            interpret=fused_interpret)
+        return cents, assign, own_d, top_pref
     block = _kmeans_block(n_real, k, block)
     assign, own_d, top_pref = _kmeans_summarize(x, cents, kk=kk, block=block)
     return cents, assign, own_d, top_pref
@@ -1269,6 +1278,8 @@ def _repair_from_summaries_fast(
     n_buckets: int,
     capacity: int,
     min_size: int,
+    into: np.ndarray | None = None,
+    fetch_rows=None,
 ) -> list[np.ndarray] | None:
     """Array-based capacity repair — placement-identical to
     :func:`_repair_from_summaries` (the oracle the equivalence fuzz pins
@@ -1278,11 +1289,19 @@ def _repair_from_summaries_fast(
     the repair phase (IMAGECLUST_REPAIR_PROFILE step logs in BASELINE.md);
     this path does the same work in a handful of vectorized passes.
 
-    Requires the native placement loop (the inherently sequential part);
-    returns None when the .so is unavailable and the caller falls back to
-    the list path. Returns a list of np.ndarray member blocks (ascending
-    item order for non-overflow buckets; own-distance rank order for the
-    kept members of overflow buckets — exactly the oracle's order)."""
+    Requires the native placement loop (the inherently sequential part).
+    ``into`` — when given — is the VALIDATED PREFIX of per-item target
+    buckets computed by the device placement
+    (:func:`_device_spill_place`), in the same (bucket asc, rank asc)
+    spill order this function derives; the suffix (items past the first
+    pref-list exhaustion, usually none) replays through the native loop
+    with rows fetched by item id via ``fetch_rows(items) ->
+    (len(items), kk)``, which also serves the dissolve loop's (tiny)
+    under-min family. Returns None when the .so is unavailable (the
+    caller falls back to the list path). Returns a list of np.ndarray
+    member blocks (ascending item order for non-overflow buckets;
+    own-distance rank order for the kept members of overflow buckets —
+    exactly the oracle's order)."""
     from imageclust_tpu.data.native import available, native_spill_place
 
     if not available():
@@ -1326,13 +1345,40 @@ def _repair_from_summaries_fast(
 
     placed_by_tgt: dict[int, np.ndarray] = {}
     if len(spill_all):
-        spill_pref = top_pref[spill_all]  # first read: blocks on the
-        st.tick("pref-wait")              # (async) device->host row copy
-        res = native_spill_place(spill_pref, src_all, cnt, capacity, 0)
-        if res is None:  # lib vanished between probe and call
-            return None
-        st.tick("native-place")
-        into, _ = res  # cnt now equals the live bucket lengths
+        if into is not None:
+            # device placement: same spill order by construction (bucket
+            # asc, rank asc on both sides) — apply the validated prefix,
+            # then replay any exhaustion suffix through the native loop
+            # (cursor starts at 0: no fallback happened in the prefix)
+            k0 = len(into)
+            assert k0 <= len(spill_all), (k0, len(spill_all))
+            if k0:
+                np.add.at(cnt, into, 1)
+            st.tick("device-place-apply")
+            if k0 < len(spill_all):
+                tail_pref = fetch_rows(spill_all[k0:])
+                st.tick("tail-pref-fetch")
+                res = native_spill_place(
+                    tail_pref, src_all[k0:], cnt, capacity, 0)
+                if res is None:
+                    return None
+                st.tick("native-place")
+                into = np.concatenate([into, res[0].astype(np.int64)])
+        else:
+            spill_pref = top_pref[spill_all]  # first read: blocks on the
+            st.tick("pref-wait")              # (async) device->host copy
+            res = native_spill_place(spill_pref, src_all, cnt, capacity, 0)
+            if res is None:  # lib vanished between probe and call
+                return None
+            st.tick("native-place")
+            into, _ = res  # cnt now equals the live bucket lengths
+            if st.on:  # how useful were the pref lists at this tier?
+                in_pref = int((spill_pref == into[:, None]).any(1).sum())
+                log.info(
+                    "spill placement: %d of %d via pref lists (%.1f%%), "
+                    "%d via the cursor fallback", in_pref, len(into),
+                    100.0 * in_pref / max(len(into), 1),
+                    len(into) - in_pref)
         o2 = np.argsort(into, kind="stable")
         tgt, starts = np.unique(into[o2], return_index=True)
         ends = np.append(starts[1:], len(o2))
@@ -1340,6 +1386,24 @@ def _repair_from_summaries_fast(
         for t, s0, s1 in zip(tgt.tolist(), starts.tolist(), ends.tolist()):
             placed_by_tgt[t] = srt_items[s0:s1]
     st.tick("place")
+
+    if fetch_rows is not None and top_pref is None:
+        # no preference rows crossed the link for placement — fetch just
+        # the dissolve family: members of every bucket that is under-min
+        # AFTER placement (only such buckets can ever dissolve: appends
+        # monotonically grow buckets, so the fixpoint loop's candidate set
+        # never leaves this snapshot), plus the spill items placed into
+        # them (a dissolving bucket re-places its placed-ins too)
+        lut = np.zeros(n_buckets, bool)
+        lut[(cnt > 0) & (cnt < min_size)] = True
+        fam = [np.flatnonzero(lut[assign])]  # under-min buckets can never
+        if len(spill_all) and into is not None:  # be overflow buckets
+            fam.append(spill_all[lut[into]])
+        family = np.unique(np.concatenate(fam))
+        rows = fetch_rows(family) if len(family) else \
+            np.zeros((0, 1), np.int32)
+        top_pref = _SparsePrefs(n, family, rows)
+    st.tick("family-fetch")
 
     # Dissolve under-min buckets — same fixpoint loop as the oracle, but
     # membership is materialized only for the (few) buckets that dissolve.
@@ -1454,6 +1518,143 @@ def _rank_u16(rank):
     return rank.astype(jnp.uint16)
 
 
+def _use_device_place() -> bool:
+    """Device-side spill placement (deferred acceptance == serial
+    first-fit): OPT-IN via IMAGECLUST_DEVICE_PLACE=1. Built to replace the
+    (m, 8) preference-row pull (~120 MB at the 10M tier, wall-clock on the
+    1-CPU host), it is exact and fuzz-pinned — but MEASURED USELESS at the
+    flagship tier: the subsampled Lloyd fit leaves dense regions uniformly
+    over capacity, so the very first spill item's 8 nearest buckets are
+    all full (first_bad=0, BASELINE round 5) and every run replays on the
+    host anyway, paying ~3.5 s of DA device time plus a late row gather
+    for nothing. Default off until a tier with local slack shows up; the
+    engine-identity and prefix-validity tests keep the path honest."""
+    return os.environ.get("IMAGECLUST_DEVICE_PLACE", "") == "1"
+
+
+# device-placement chunk width: the DA rounds sort (chunk,) claim arrays
+# inside a while_loop — at full spill width (8M+) the TPU compile of
+# sort-inside-loop explodes (observed: 20+ min, vs ~20 s at 64k), and the
+# per-round sort cost scales with the whole width though contention is
+# local. Chunks are processed in priority order (outer scan), so
+# exactness is preserved: every higher-priority chunk is FINAL before the
+# next begins.
+_DP_CHUNK = 1 << 17
+
+
+@partial(jax.jit, static_argnames=("m_pad", "max_rounds"))
+def _device_spill_place(assign, rank, counts, pref_mat, capacity,
+                        m_pad: int, max_rounds: int = 32):
+    """Spill placement ON DEVICE — the serial first-fit loop
+    (native ``ic_spill_place``) computed by deferred acceptance.
+
+    The serial rule: items in (source-bucket asc, rank asc) order each take
+    their first preference with remaining capacity (skipping their own
+    bucket). That is a serial dictatorship with a COMMON priority order
+    (the item's position in that global order), and serial dictatorship is
+    exactly item-proposing deferred acceptance when every bucket ranks
+    claimants by the same priority: per round, every unplaced item
+    proposes its next untried preference; each bucket TENTATIVELY holds
+    the highest-priority claimants (current holders + new proposers) up to
+    its remaining capacity and evicts the rest; evicted/rejected items
+    advance. Acceptance is tentative, which is what makes the emulation
+    exact — a finalized-acceptance scheme diverges (a low-priority item
+    can grab a slot a higher-priority item only reaches in a later round).
+
+    Items are processed in priority-ordered CHUNKS of ``_DP_CHUNK`` (outer
+    ``scan``, remaining capacity carried across chunks): all of chunk c's
+    placements are final before chunk c+1 starts, so the chunked run
+    equals the global one while the per-round sort stays chunk-sized.
+
+    Returns ``(into (m_pad,) i32 [-1 unresolved], n_spill i32,
+    first_bad i32)``. ``first_bad`` is the priority index of the FIRST
+    unresolved real item (= n_spill when every item placed): an item that
+    exhausted its preference list takes the serial loop's monotone-cursor
+    fallback, which interleaves with later placements and cannot be
+    reproduced by rounds — but an item's outcome depends only on
+    higher-priority items, so placements BEFORE first_bad are exact and
+    the caller replays only the [first_bad:] suffix on the host."""
+    p = pref_mat.shape[1]
+    nb = counts.shape[0]
+    big = jnp.iinfo(jnp.int32).max
+    spill = (counts[assign] > capacity) & (rank >= capacity)
+    n_spill = jnp.sum(spill, dtype=jnp.int32)
+    # (bucket asc, rank asc) == the host's srt_all order; padding sorts
+    # last (x64 is disabled, so no composite i64 key — lexsort instead)
+    order = jnp.lexsort((rank, jnp.where(spill, assign, big)))
+    chunk = min(m_pad, _DP_CHUNK)
+    m_rnd = -(-m_pad // chunk) * chunk
+    if order.shape[0] < m_rnd:  # may exceed n on small inputs
+        order = jnp.pad(order, (0, m_rnd - order.shape[0]))
+    order = order[:m_rnd]
+    real = (jnp.arange(m_rnd) < n_spill).reshape(-1, chunk)
+    prefs = pref_mat[order].astype(jnp.int32).reshape(-1, chunk, p)
+    src = assign[order].reshape(-1, chunk)
+    # remaining capacity BEFORE placements: overflow buckets keep exactly
+    # `capacity` members, everyone else keeps their count
+    rem0 = jnp.maximum(capacity - jnp.minimum(counts, capacity), 0)
+
+    iota = jnp.arange(chunk, dtype=jnp.int32)
+    jj = jnp.arange(p, dtype=jnp.int32)
+
+    def do_chunk(rem, inp):
+        prefs_c, src_c, real_c = inp
+
+        def body(state):
+            it, cursor, into = state
+            unplaced = (into < 0) & real_c
+            ok_j = (jj[None, :] >= cursor[:, None]) \
+                & (prefs_c != src_c[:, None])
+            has = ok_j.any(axis=1) & unplaced
+            j = jnp.argmax(ok_j, axis=1)
+            prop = jnp.where(has, prefs_c[iota, j], -1)
+            # every current claim: tentative holders keep theirs,
+            # proposers claim prop; rank claimants per bucket by priority
+            # (= row index): a STABLE sort by bucket keeps row order
+            # within each bucket
+            claim = jnp.where(has, prop, into)          # -1 = no claim
+            cord = jnp.argsort(jnp.where(claim >= 0, claim, big),
+                               stable=True)
+            b_sorted = claim[cord]
+            first = jnp.concatenate([
+                jnp.ones(1, jnp.bool_), b_sorted[1:] != b_sorted[:-1]])
+            seg_start = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(first, iota, 0))
+            crank = iota - seg_start
+            keep_sorted = (b_sorted >= 0) & (crank < rem[
+                jnp.maximum(b_sorted, 0)])
+            keep = jnp.zeros(chunk, jnp.bool_).at[cord].set(keep_sorted)
+            new_into = jnp.where(keep, claim, -1)
+            # proposers (accepted or not) advance past j; holders keep
+            # cursor; unplaced items whose remaining prefs are all their
+            # own source bucket are EXHAUSTED — cursor = p stops them
+            cursor = jnp.where(has, j + 1, cursor)
+            cursor = jnp.where(unplaced & ~ok_j.any(axis=1), jnp.int32(p),
+                               cursor)
+            return it + 1, cursor, new_into
+
+        def cond(state):
+            it, cursor, into = state
+            return (it < max_rounds) & jnp.any((into < 0) & real_c
+                                               & (cursor < p))
+
+        _, _, into = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros(chunk, jnp.int32),
+                         jnp.full(chunk, -1, jnp.int32)))
+        # finalize: this chunk's holders consume remaining capacity
+        hist = jnp.zeros(nb + 1, jnp.int32).at[
+            jnp.where(into >= 0, into, nb)].add(1)[:nb]
+        return rem - hist, into
+
+    _, intos = jax.lax.scan(do_chunk, rem0, (prefs, src, real))
+    into = intos.reshape(-1)[:m_pad]
+    bad = (into < 0) & (jnp.arange(m_pad, dtype=jnp.int32) < n_spill)
+    first_bad = jnp.min(jnp.where(
+        bad, jnp.arange(m_pad, dtype=jnp.int32), m_pad))
+    first_bad = jnp.minimum(first_bad, n_spill)
+    return into, n_spill, first_bad
+
+
 class _SparsePrefs:
     """Read-only stand-in for the full (n, 8) preference matrix holding
     only the rows capacity repair can touch (items spilled from
@@ -1560,6 +1761,7 @@ def _repair_buckets_device(
         except Exception:
             pass
     rows_d = None
+    place_d = None
     if pref_d is None and m:
         # need-only: launch the preference-row compute NOW, fed by the
         # device-built index set (_need_idx twins the host flatnonzero
@@ -1585,6 +1787,37 @@ def _repair_buckets_device(
             rows_d.copy_to_host_async()
         except Exception:
             pass
+    elif pref_d is not None and m and _use_device_place():
+        # summarize-fused + device placement: the whole first-fit spill
+        # placement runs on device (deferred acceptance, see
+        # _device_spill_place) — only the (n_spill,) placement vector
+        # crosses the link instead of the (m, 8) preference rows (~8x
+        # fewer bytes; on the 1-CPU host the tunnel client's transfer
+        # work time-shares the core with repair's numpy work, so bytes
+        # ARE wall clock here)
+        m_pad = _m_pad_for(m)
+        into_d, n_spill_d, first_bad_d = _device_spill_place(
+            assign_d, rank_d, counts_d, pref_d, jnp.int32(capacity),
+            m_pad=m_pad)
+        if as_u16:
+            into_d = _rank_u16(into_d)  # -1 wraps to 65535 (never a bucket)
+        try:
+            into_d.copy_to_host_async()
+        except Exception:
+            pass
+        place_d = (into_d, n_spill_d, first_bad_d)
+    elif pref_d is not None and m:
+        # full-pref / summarize-fused mode: the matrix already exists —
+        # launch the need-row gather + its device->host copy from the
+        # device-built index set, before the rank/assign pulls (the host
+        # flatnonzero twin is asserted below, as in need-only mode)
+        m_pad = _m_pad_for(m)
+        idx_d = _need_idx(need_d, m_pad)
+        rows_d = _gather_pref_rows(pref_d, idx_d, as_u16)
+        try:
+            rows_d.copy_to_host_async()
+        except Exception:
+            pass
     st.tick("pref-launch")
     rank = np.asarray(rank_src)
     st.tick("rank-pull")
@@ -1594,29 +1827,51 @@ def _repair_buckets_device(
     need = np.flatnonzero(
         ((ca > capacity) & (rank >= capacity)) | (ca < min_size))
     assert len(need) == m, (len(need), m)  # host/device predicate twins
-    if m:
-        if rows_d is None:  # full-pref mode: gather from the (n, kk) matrix
-            m_pad = _m_pad_for(m)
-            idx = np.zeros(m_pad, np.int32)
-            idx[:m] = need
-            rows_d = _gather_pref_rows(pref_d, jnp.asarray(idx), as_u16)
-            try:  # start the device->host copy now; it overlaps the
-                rows_d.copy_to_host_async()  # host-side grouping work
-            except Exception:
-                pass
-        rd = rows_d
+
+    into = None
+    fetch_rows = None
+    if place_d is not None:
+        n_spill = int(place_d[1])
+        first_bad = int(place_d[2])
+        # validated prefix: every placement before the first unresolved
+        # item is exact (an item's outcome depends only on higher-priority
+        # items); the [first_bad:] suffix — if any — replays on the host
+        into = np.asarray(place_d[0]).astype(np.int64)[:first_bad]
+        if first_bad < n_spill:
+            log.info(
+                "device placement: %d of %d spill items placed on device; "
+                "host replays the tail (pref-list exhaustion)",
+                first_bad, n_spill)
+        st.tick("place-pull")
+
+        def fetch_rows(items):
+            # preference rows by item id: the host-replay tail and the
+            # (tiny) under-min dissolve family
+            mp = _m_pad_for(max(len(items), 1))
+            idx = np.zeros(mp, np.int32)
+            idx[:len(items)] = items
+            return np.asarray(_gather_pref_rows(
+                pref_d, jnp.asarray(idx), as_u16))[:len(items)]
+    if m and rows_d is not None:
+        rd = rows_d  # launched above, before the pulls
 
         def rows():
             return np.asarray(rd)[:m]
+
+        prefs = _SparsePrefs(n, need, rows)
+    elif m and into is not None:
+        prefs = None  # placement/dissolve rows come lazily via fetch_rows
     else:
         cols = min(top_k, n_buckets) if pref_d is None \
             else int(pref_d.shape[1])
-        rows = np.zeros((0, cols), np.int32)
-    prefs = _SparsePrefs(n, need, rows)
+        prefs = _SparsePrefs(n, need, np.zeros((0, cols), np.int32))
     st.tick("pref-gather-issue")
     out = _repair_from_summaries_fast(assign, rank, counts0, prefs,
-                                      n_buckets, capacity, min_size)
+                                      n_buckets, capacity, min_size,
+                                      into=into, fetch_rows=fetch_rows)
     if out is None:  # no native lib: the list-based path
+        if prefs is None:  # device placement held the rows — fetch all
+            prefs = _SparsePrefs(n, need, lambda: fetch_rows(need))
         out = _repair_from_summaries(assign, rank, counts0, prefs,
                                      n_buckets, capacity, min_size)
     st.tick("from-summaries")
@@ -2385,14 +2640,24 @@ def constrained_ward_bucketed(
     # same centroids with the same tile geometry either way; near-tie f32
     # rounding may still differ between the two compiled programs, which
     # in this already-approximate mode can shift a handful of placements.
-    env = os.environ.get("IMAGECLUST_PREF_NEED_ONLY")
-    if env is not None:
-        need_only = env != "0"
+    # Summarize-fused preferences supersede both modes on TPU at large k:
+    # the fused kernel computes assignment + own distance + top-8 prefs in
+    # the SAME gram pass, so neither the in-summarize k-lane top_k nor the
+    # repair-time need-row re-scan runs at all.
+    sum_fused, sum_interp = _use_summarize_fused(n_buckets)
+    if sum_fused:
+        cents_d, assign_d, own_d_d, pref_d = kmeans(
+            feats, n_buckets, kmeans_iters, seed, top_k=_TOP_PREF,
+            summarize_fused=True, fused_interpret=sum_interp)
     else:
-        need_only = n * n_buckets >= _PREF_NEED_ONLY_MIN_WORK
-    cents_d, assign_d, own_d_d, pref_d = kmeans(
-        feats, n_buckets, kmeans_iters, seed,
-        top_k=0 if need_only else _TOP_PREF)
+        env = os.environ.get("IMAGECLUST_PREF_NEED_ONLY")
+        if env is not None:
+            need_only = env != "0"
+        else:
+            need_only = n * n_buckets >= _PREF_NEED_ONLY_MIN_WORK
+        cents_d, assign_d, own_d_d, pref_d = kmeans(
+            feats, n_buckets, kmeans_iters, seed,
+            top_k=0 if need_only else _TOP_PREF)
     pt.tick("kmeans", sync=own_d_d)
     buckets = _repair_buckets_device(
         assign_d, own_d_d, pref_d, n_buckets, bucket_size, min_size,

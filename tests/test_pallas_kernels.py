@@ -360,3 +360,77 @@ class TestPrefTopkFused:
             x, min_size=3, max_size=6, bucket_size=16)
         assert got.cluster_map == ref.cluster_map
         assert got.dropped == ref.dropped
+
+
+class TestSummarizeFused:
+    """Summarize-fused preferences (_kmeans_summarize_fused /
+    pref_topk_block with_dists): one gram pass yields assignment + own
+    distance + the preference matrix. Integer-valued test data, like
+    TestPrefTopkFused — every f32 intermediate on every path is exact, so
+    equality is pinned with no near-tie rounding escape hatch."""
+
+    def test_with_dists_values_exact(self, rng):
+        from imageclust_tpu.ops.pallas_kernels import pref_topk_block
+
+        R, d, k, kk, blk = 16, 128, 384, 8, 128  # 3 centroid chunks
+        x = rng.integers(-20, 20, (R, d)).astype(np.float32)
+        c = rng.integers(-20, 20, (k, d)).astype(np.float32)
+        cn = (c.astype(np.float64) ** 2).sum(1).astype(np.float32)
+        got_i, got_v = pref_topk_block(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(cn), kk=kk,
+            block_c=blk, interpret=True, with_dists=True)
+        got_i, got_v = np.asarray(got_i), np.asarray(got_v)
+        d2 = ((x[:, None, :].astype(np.float64)
+               - c[None, :, :].astype(np.float64)) ** 2).sum(-1)
+        want_v = np.take_along_axis(d2, got_i, axis=1)
+        np.testing.assert_array_equal(got_v, want_v.astype(np.float32))
+        # ascending per row; lane 0 is the own (nearest) distance
+        assert (np.diff(got_v, axis=1) >= 0).all()
+        np.testing.assert_array_equal(got_v[:, 0], d2.min(1))
+
+    def test_summarize_fused_matches_tile_path(self, rng):
+        """assign / own_d / prefs identical to _kmeans_summarize on
+        integer-valued data for every residency dtype, including d and k
+        padding and the < rows_blk tail."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        n, d, k, kk = 600, 48, 19, 8
+        base = rng.integers(-30, 30, (n, d)).astype(np.float32)
+        for dt in (jnp.float32, jnp.bfloat16, jnp.int8):
+            x = jnp.asarray(base.astype(np.int8) if dt == jnp.int8
+                            else base).astype(dt)
+            cents, _, _, _ = sh.kmeans(x, k, iters=2, top_k=0)
+            cents = jnp.round(cents)  # integer grid: exact on both paths
+            blk = sh._kmeans_block(n, k, sh._KMEANS_BLOCK)
+            a1, o1, p1 = sh._kmeans_summarize(x, cents, kk=kk, block=blk)
+            a2, o2, p2 = sh._kmeans_summarize_fused(
+                x, cents, kk=kk, block_c=512, as_u16=True, interpret=True)
+            np.testing.assert_array_equal(np.asarray(a2), np.asarray(a1),
+                                          err_msg=str(dt))
+            np.testing.assert_array_equal(np.asarray(o2), np.asarray(o1),
+                                          err_msg=str(dt))
+            np.testing.assert_array_equal(
+                np.asarray(p2).astype(np.int32), np.asarray(p1),
+                err_msg=str(dt))
+
+    def test_engine_identical_with_summarize_fused(self, rng, monkeypatch):
+        """Full bucketed run: summarize-fused prefs vs the tile full-pref
+        path give identical partitions on integer-grid blobs (skewed sizes
+        force spills + dissolves, so repair actually consumes the prefs)."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        centers = (rng.integers(-5, 6, (6, 12)) * 8).astype(np.float32)
+        sizes = [160, 90, 40, 20, 6, 2]
+        x = np.concatenate([
+            c + rng.integers(-2, 3, (s, 12)).astype(np.float32)
+            for c, s in zip(centers, sizes)])
+        x = x[rng.permutation(len(x))]
+        monkeypatch.setenv("IMAGECLUST_SUMMARIZE_FUSED", "0")
+        monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        monkeypatch.setenv("IMAGECLUST_SUMMARIZE_FUSED", "1")
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        assert got.cluster_map == ref.cluster_map
+        assert got.dropped == ref.dropped

@@ -1124,3 +1124,143 @@ class TestSpillMemberTable:
             outs[flag] = {k: tuple(sorted(v))
                           for k, v in res.cluster_map.items()}
         assert set(outs["0"].values()) == set(outs["1"].values())
+
+
+class TestDeviceSpillPlace:
+    """_device_spill_place (deferred acceptance on device) must equal the
+    serial first-fit loop (native ic_spill_place) wherever no item
+    exhausts its preference list — and must raise the not-ok flag exactly
+    when one does (the serial monotone-cursor fallback interleaves with
+    placements, which rounds cannot reproduce; the caller then replays on
+    the host)."""
+
+    @staticmethod
+    def _host_oracle(assign, rank, counts, prefs, capacity):
+        """Serial first-fit in pure Python over the (bucket asc, rank asc)
+        spill order; returns (spill_items, into, used_cursor_fallback)."""
+        spill = np.flatnonzero((counts[assign] > capacity)
+                               & (rank >= capacity))
+        order = spill[np.lexsort((rank[spill], assign[spill]))]
+        cnt = np.minimum(counts, capacity).astype(np.int64)
+        into = np.empty(len(order), np.int64)
+        fallback = False
+        cursor = 0
+        nb = len(counts)
+        for t, i in enumerate(order):
+            chosen = -1
+            for b in prefs[i]:
+                if b != assign[i] and cnt[b] < capacity:
+                    chosen = b
+                    break
+            if chosen < 0:
+                fallback = True
+                while cursor < nb and cnt[cursor] >= capacity:
+                    cursor += 1
+                chosen = cursor if cursor < nb else assign[i]
+            cnt[chosen] += 1
+            into[t] = chosen
+        return order, into, fallback
+
+    def _instance(self, rng, n=150, nb=24, capacity=8, kk=4):
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        assign = rng.integers(0, nb, n).astype(np.int32)
+        own = rng.integers(0, 1000, n).astype(np.float32)
+        counts, rank_d, _, _ = sh._repair_summaries(
+            jnp.asarray(assign), jnp.asarray(own), nb,
+            np.int32(capacity), np.int32(2))
+        counts = np.asarray(counts)
+        rank = np.asarray(rank_d)
+        prefs = np.stack([
+            rng.choice(nb, size=kk, replace=False) for _ in range(n)
+        ]).astype(np.int32)
+        return assign, rank, counts, prefs
+
+    def test_matches_serial_first_fit_fuzz(self, rng):
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        full = 0
+        partial = 0
+        # 12 roomy instances (full-device path) + 4 tight ones (pref
+        # exhaustion -> prefix validity)
+        cases = [(s, 150) for s in range(12)] + \
+                [(100 + s, 260) for s in range(4)]
+        for seed, n_items in cases:
+            r = np.random.default_rng(seed)
+            assign, rank, counts, prefs = self._instance(r, n=n_items)
+            order, want, fb = self._host_oracle(
+                assign, rank, counts, prefs, 8)
+            into, n_spill, first_bad = sh._device_spill_place(
+                jnp.asarray(assign), jnp.asarray(rank),
+                jnp.asarray(counts), jnp.asarray(prefs), jnp.int32(8),
+                m_pad=512)
+            assert int(n_spill) == len(order)
+            fb_dev = int(first_bad)
+            if fb:
+                # exhaustion: first_bad marks it, and the VALIDATED
+                # PREFIX must still equal the serial outcome
+                assert fb_dev < len(order)
+                np.testing.assert_array_equal(
+                    np.asarray(into)[:fb_dev], want[:fb_dev])
+                partial += 1
+                continue
+            assert fb_dev == len(order)
+            full += 1
+            np.testing.assert_array_equal(
+                np.asarray(into)[:len(order)], want)
+        assert full >= 6  # the fuzz must exercise the full-device path
+        assert partial >= 1  # ... and the prefix-validity claim
+
+    def test_exhaustion_flagged(self, rng):
+        import jax.numpy as jnp
+
+        import imageclust_tpu.cluster.sharded as sh
+
+        # two buckets: bucket 0 holds 6 items (capacity 2 -> 4 spill), all
+        # of whose prefs point ONLY at bucket 1 (capacity 2, full after 2
+        # placements) or back at bucket 0 -> two items must exhaust
+        assign = np.array([0] * 6 + [1] * 2, np.int32)
+        own = np.arange(8).astype(np.float32)
+        counts, rank_d, _, _ = sh._repair_summaries(
+            jnp.asarray(assign), jnp.asarray(own), 2,
+            np.int32(2), np.int32(1))
+        prefs = np.tile(np.array([[1, 0]], np.int32), (8, 1))
+        into, n_spill, first_bad = sh._device_spill_place(
+            jnp.asarray(assign), jnp.asarray(np.asarray(rank_d)),
+            jnp.asarray(np.asarray(counts)), jnp.asarray(prefs),
+            jnp.int32(2), m_pad=8)
+        assert int(n_spill) == 4
+        # bucket 1 holds 2 pre-existing members (capacity 2): NO spill
+        # item can place -> the validated prefix is empty
+        assert int(first_bad) == 0
+
+    def test_engine_identical_with_device_place(self, rng, monkeypatch):
+        """Full bucketed run on integer-grid blobs: summarize-fused +
+        device placement vs the all-host path — identical partitions,
+        drops, and merges (skewed sizes force spills + dissolves, so both
+        the placement and the family fetch actually run)."""
+        import imageclust_tpu.cluster.sharded as sh
+
+        r = np.random.default_rng(7)
+        centers = (r.integers(-5, 6, (6, 12)) * 8).astype(np.float32)
+        sizes = [160, 90, 40, 20, 6, 2]
+        x = np.concatenate([
+            c + r.integers(-2, 3, (s, 12)).astype(np.float32)
+            for c, s in zip(centers, sizes)])
+        x = x[r.permutation(len(x))]
+        monkeypatch.setenv("IMAGECLUST_SUMMARIZE_FUSED", "0")
+        monkeypatch.setenv("IMAGECLUST_DEVICE_PLACE", "0")
+        monkeypatch.setenv("IMAGECLUST_PREF_NEED_ONLY", "0")
+        ref = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        monkeypatch.setenv("IMAGECLUST_SUMMARIZE_FUSED", "1")
+        monkeypatch.setenv("IMAGECLUST_DEVICE_PLACE", "1")
+        got = sh.constrained_ward_bucketed(
+            x, min_size=3, max_size=6, bucket_size=16)
+        assert got.cluster_map == ref.cluster_map
+        assert got.dropped == ref.dropped
+        np.testing.assert_array_equal(got.merges, ref.merges)
