@@ -557,7 +557,10 @@ def bench_quality(n: int, d: int, sep: float, towers: str,
             rows[f"residency_{mode}"] = row
     yard = sb["f32_seed_yardstick"]["ari"]
 
-    n_fuse = min(n, 5000)
+    # 20k (was 5k, VERDICT r4 item 5): the one-hot block is host-built
+    # numpy — n=20k keeps its tunnel transfer ~seconds while quadrupling
+    # the vocabulary-collision surface the fusion row measures
+    n_fuse = min(n, 20_000)
     t0 = time.perf_counter()
     fuse = fusion_scoreboard(n_fuse, d, sep=sep)
     _log(f"fusion text-vs-onehot n={n_fuse} "
