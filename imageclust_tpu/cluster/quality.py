@@ -216,4 +216,21 @@ def ptq_scoreboard(model: str, n: int, *, n_base: int = 64,
     row = agreement(base_part, q8_part)
     alt = _bucketed(f32, "float32", bucket_size=bucket_size, seed=seed + 1)
     row["seed_yardstick"] = agreement(base_part, alt)
+    # truth-recovery context: both variants embed the SAME images (same
+    # synth keys), whose base-pattern id is replayable without the tower —
+    # whether int8 LOSES structure is a different question from whether it
+    # agrees pair-for-pair with the f32 partition (at random init the
+    # f32-int8 margin is all noise; vs-truth is the quality-loss signal)
+    from imageclust_tpu.config import EmbedConfig as _EC
+    from imageclust_tpu.models.registry import create_embedder as _ce
+
+    bs = _ce(_EC(model=model, batch_size=batch_size)).batch_size
+    kb = jax.random.PRNGKey(seed)
+    truth = np.concatenate([
+        np.asarray(jax.random.randint(
+            jax.random.split(jax.random.fold_in(kb, i))[0],
+            (bs,), 0, n_base))
+        for i in range(-(-n // bs))])[:n].astype(np.int64)
+    row["ari_vs_truth_f32"] = agreement(base_part, truth)["ari"]
+    row["ari_vs_truth_int8"] = agreement(q8_part, truth)["ari"]
     return row

@@ -13,10 +13,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# repo-root import without PYTHONPATH (setting PYTHONPATH breaks the axon
+# TPU plugin registration on this box — run plainly from anywhere instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
