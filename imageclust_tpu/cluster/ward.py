@@ -489,13 +489,28 @@ _merge_loop_fused = partial(
 )(_merge_loop_fused_impl)
 
 
-def _use_fused_loop() -> bool:
+# Measured VMEM wall for merge_update_argmin (one v5 lite chip): n_pad=4096
+# compiles and runs; n_pad=8192 fails AOT with "scoped allocation 28.08M
+# ... limit 16.00M" (the kernel's per-stripe scratch scales with n). The
+# scaling is linear, so the largest safe padded n is ~4.6k; gate at the
+# measured-good 4096 and fall back to the unfused XLA body above it
+# (bit-identical by the pinned tests; just slower per merge).
+_FUSED_MERGE_MAX_N = 4096
+
+
+def _use_fused_loop(n_pad: int = 0) -> bool:
+    """Whether to run the fused Pallas merge loop. ``n_pad`` is the padded
+    problem size (0 = caller guarantees a small matrix, e.g. the bucketed
+    engine's per-bucket blocks); IMAGECLUST_FUSED_MERGE=0/1 overrides both
+    the backend default and the VMEM bound."""
     import os
 
     flag = os.environ.get("IMAGECLUST_FUSED_MERGE", "")
     if flag == "0":
         return False
-    return flag == "1" or jax.default_backend() == "tpu"
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu" and n_pad <= _FUSED_MERGE_MAX_N
 
 _SHARDED_LOOPS: dict = {}
 
@@ -694,7 +709,7 @@ def _run_merges(
             jnp.asarray(xp), jnp.int32(n), jnp.int32(n_target),
             jnp.int32(max_size),
         )
-    elif _use_fused_loop():
+    elif _use_fused_loop(n_pad):
         log, steps, births, sizes, active = _merge_loop_fused(
             jnp.asarray(xp),
             jnp.int32(n),
