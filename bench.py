@@ -77,11 +77,19 @@ def bench_e2e(n_images: int, batch_size: int, bucket_size: int,
     def embed_all():
         # Features STAY ON DEVICE — the clustering stage consumes them in
         # HBM; only a scalar checksum crosses the wire to force completion.
+        # The in-flight bound is LAGGED one group: syncing on the group just
+        # dispatched parks the device for a full tunnel RTT (~50 ms) per
+        # sync while the scalar crosses; syncing on the PREVIOUS group's
+        # tail (already long done) keeps the dispatch queue full the whole
+        # run while still bounding un-synced work to <= 16 batches.
         chunks = []
+        fence = None
         for i in range(0, n_batches, 8):
             chunks += [fwd(variables, synth_batch(j))
                        for j in range(i, min(i + 8, n_batches))]
-            float(chunks[-1][0, 0])  # bound in-flight work
+            if fence is not None:
+                float(fence[0, 0])
+            fence = chunks[-1]
         feats = jnp.concatenate(chunks)[:n_images]
         float(feats[0, 0])
         return feats

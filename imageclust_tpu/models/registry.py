@@ -313,6 +313,12 @@ class Embedder:
         scale = 1.0
         written = 0
         n_chunks = 0
+        # The in-flight bound is LAGGED one window: syncing on the chunk
+        # just dispatched parks the device for a full tunnel RTT (~50 ms)
+        # per sync while the probe scalar crosses; syncing on the PREVIOUS
+        # window's chunk (already long done) keeps the dispatch queue full
+        # while still bounding un-synced work to <= 2*inflight chunks.
+        fence = None
         expect = (self.spec.input_size, self.spec.input_size, 3)
         for chunk in chunks:
             on_device = isinstance(chunk, jax.Array)
@@ -348,14 +354,18 @@ class Embedder:
                 buf = fill(buf, emb, jnp.int32(written))
                 written += emb.shape[0]
                 if inflight and n_chunks % inflight == 0:
-                    np.asarray(buf[:1, :1])  # bound in-flight work
+                    if fence is not None:
+                        np.asarray(fence[:1, :1])  # bound in-flight work
+                    fence = emb  # NOT donated by fill — safe to probe later
                 continue
             outs.append(emb)
             if inflight and len(outs) % inflight == 0:
                 if self._multiproc:  # global slices may not be addressable
                     outs[-1].block_until_ready()
                 else:
-                    np.asarray(outs[-1][:1, :1])  # bound in-flight transfers
+                    if fence is not None:
+                        np.asarray(fence[:1, :1])  # bound in-flight transfers
+                    fence = emb
         if prealloc:
             if written != total:
                 raise ValueError(
