@@ -243,7 +243,9 @@ class Embedder:
         async dispatch lets the host queue transfer staging buffers faster
         than a slow host->device link drains them and RSS grows with the
         job (observed: 16 GB at 100k images through the axon tunnel). Every
-        ``inflight`` chunks one scalar is pulled to force completion."""
+        ``inflight`` chunks one scalar probe is pulled from the chunk one
+        window BACK (lagged fence — bounds in-flight work at <= 2*inflight
+        chunks without parking the device for the probe's round trip)."""
         return self.embed_stream_quantized(chunks, inflight, total=total)[0]
 
     def embed_stream_quantized(self, chunks, inflight: int = 4,
